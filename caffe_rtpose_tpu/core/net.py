@@ -1,0 +1,372 @@
+"""Net: prototxt-defined DAG -> one jit-compiled XLA program.
+
+This replaces Caffe's Net graph runtime (reference src/caffe/net.cpp): where
+the reference builds Blob/Layer objects and walks them per forward
+(``Net::ForwardFromTo``, net.cpp:544-556), here construction specializes every
+layer to its input shapes once (core.layers builders) and the whole forward is
+a single traced function that XLA fuses and schedules — there is no per-layer
+dispatch at run time and no analog of SyncedMemory (device residency is
+managed by jax.Array).
+
+Behavioral parity implemented here:
+  * phase/stage/level filtering        (Net::FilterNet, net.cpp:287)
+  * deprecated ``input``/``input_dim``/``input_shape`` fields + Input layers
+  * in-place layers, multi-consumer blobs (InsertSplits is unnecessary in a
+    functional graph)
+  * weight loading by layer name with shape checks
+    (Net::CopyTrainedLayersFromBinaryProto, net.cpp:750-806)
+  * named blob/layer lookup, loss-weight accumulation
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import layout
+from ..proto import caffe_pb, caffemodel, prototxt
+from . import layers as L
+
+log = logging.getLogger(__name__)
+
+DATA_LAYER_TYPES = {
+    "Data", "ImageData", "HDF5Data", "MemoryData", "DummyData", "WindowData", "CPMData",
+}
+
+
+def _rule_matches(rule: caffe_pb.View, phase: int, stages: Sequence[str], level: int) -> bool:
+    if rule.has("phase") and rule.phase != phase:
+        return False
+    if rule.has("min_level") and level < rule.min_level:
+        return False
+    if rule.has("max_level") and level > rule.max_level:
+        return False
+    for s in rule.stage:
+        if s not in stages:
+            return False
+    for s in rule.not_stage:
+        if s in stages:
+            return False
+    return True
+
+
+def _layer_included(lv: caffe_pb.View, phase: int, stages: Sequence[str], level: int) -> bool:
+    includes = lv.include
+    excludes = lv.exclude
+    if includes:
+        return any(_rule_matches(r, phase, stages, level) for r in includes)
+    return not any(_rule_matches(r, phase, stages, level) for r in excludes)
+
+
+class Net:
+    """Shape-specialized, jit-compiled network.
+
+    Parameters
+    ----------
+    proto: path to .prototxt, prototxt text, or a parsed NetParameter dict.
+    phase: 'TRAIN' or 'TEST'.
+    input_shapes: optional {blob_name: caffe_shape} overriding declared input
+        dims (the rtpose warmup reshape, rtpose.cpp:188-191).
+    overrides: optional {layer_name: {field: value}} merged into layer param
+        sub-messages before building (runtime knobs like ImResize
+        start_scale/scale_gap, imresize_layer.hpp:23-28).
+    dtype: activation dtype for inputs (bfloat16 recommended on TPU; conv
+        accumulation is always float32).
+    """
+
+    def __init__(
+        self,
+        proto: Union[str, Dict[str, Any]],
+        phase: str = "TEST",
+        input_shapes: Optional[Dict[str, Sequence[int]]] = None,
+        overrides: Optional[Dict[str, Dict[str, Any]]] = None,
+        stages: Sequence[str] = (),
+        level: int = 0,
+        dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        if isinstance(proto, str):
+            if "\n" in proto or "{" in proto:
+                net_param = prototxt.parse(proto)
+            else:
+                net_param = prototxt.parse_file(proto)
+        else:
+            net_param = proto
+        self.net_param = net_param
+        self.phase = phase
+        self.dtype = dtype
+        nv = caffe_pb.view(net_param, "NetParameter")
+        self.name = nv.name
+        phase_i = caffe_pb.PHASE[phase]
+
+        # ---- collect graph inputs
+        self.input_names: List[str] = []
+        input_infos: Dict[str, L.BlobInfo] = {}
+        declared: Dict[str, Tuple[int, ...]] = {}
+        if nv.input:
+            shapes: List[Tuple[int, ...]] = []
+            if nv.input_shape:
+                shapes = [tuple(int(d) for d in bs.dim) for bs in nv.input_shape]
+            elif nv.input_dim:
+                dims = [int(d) for d in nv.input_dim]
+                shapes = [tuple(dims[i : i + 4]) for i in range(0, len(dims), 4)]
+            for iname, shp in zip(nv.input, shapes):
+                declared[iname] = shp
+
+        # ---- filter layers & apply overrides
+        overrides = overrides or {}
+        self.layer_views: List[caffe_pb.View] = []
+        for raw in net_param.get("layer", []):
+            lv = caffe_pb.view(raw, "LayerParameter")
+            if not _layer_included(lv, phase_i, stages, level):
+                continue
+            if lv.name in overrides:
+                patched = dict(raw)
+                for k, v in overrides[lv.name].items():
+                    # field path: '<param_msg>.<field>' or direct layer field
+                    if "." in k:
+                        sub, fld = k.split(".", 1)
+                        patched[sub] = dict(patched.get(sub, {}))
+                        patched[sub][fld] = v
+                    else:
+                        patched[k] = v
+                lv = caffe_pb.view(patched, "LayerParameter")
+            self.layer_views.append(lv)
+
+        # Input layers declare shapes too
+        for lv in self.layer_views:
+            if lv.type == "Input":
+                for i, t in enumerate(lv.top):
+                    shp = tuple(int(d) for d in lv.input_param.shape[min(i, len(lv.input_param.shape) - 1)].dim)
+                    declared[t] = shp
+            elif lv.type in DATA_LAYER_TYPES:
+                raise NotImplementedError(
+                    f"data layer {lv.type} must be fed externally; use the training pipeline"
+                )
+
+        if input_shapes:
+            for k, v in input_shapes.items():
+                declared[k] = tuple(int(d) for d in v)
+
+        for iname, shp in declared.items():
+            nhwc = len(shp) == 4
+            input_infos[iname] = L.BlobInfo(
+                shape_physical=layout.physical_shape_of(shp) if nhwc else tuple(shp), nhwc=nhwc
+            )
+            self.input_names.append(iname)
+
+        # ---- build layer impls with incremental shape inference
+        self.impls: List[L.LayerImpl] = []
+        blob_infos: Dict[str, L.BlobInfo] = dict(input_infos)
+        self.blob_infos = blob_infos
+        rngc = [0]
+        for lv in self.layer_views:
+            if lv.type == "Input":
+                continue
+            bottoms = []
+            for b in lv.bottom:
+                if b not in blob_infos:
+                    raise ValueError(f"layer {lv.name}: unknown bottom blob {b!r}")
+                bottoms.append(blob_infos[b])
+            impl = L.build(lv, bottoms, phase)
+            # infer top shapes via abstract evaluation
+            bot_avals = [
+                jax.ShapeDtypeStruct(bi.shape_physical, dtype if bi.nhwc else jnp.float32)
+                for bi in bottoms
+            ]
+            dummy_params = [
+                jax.ShapeDtypeStruct(_internal_shape(pi), jnp.float32) for pi in impl.params
+            ]
+            rng_aval = jax.ShapeDtypeStruct((2,), jnp.uint32)
+            out_avals = jax.eval_shape(
+                lambda p, bots, rng: impl.apply(p, bots, rng, phase == "TRAIN", None),
+                dummy_params,
+                bot_avals,
+                rng_aval,
+            )
+            flags = impl.top_nhwc
+            for i, (tname, aval) in enumerate(zip(impl.tops, out_avals)):
+                nhwc = (len(aval.shape) == 4) if flags is None else flags[i]
+                blob_infos[tname] = L.BlobInfo(shape_physical=tuple(aval.shape), nhwc=nhwc)
+            self.impls.append(impl)
+
+        self.layer_by_name: Dict[str, L.LayerImpl] = {i.name: i for i in self.impls}
+        self.params = self.init_params(seed)
+        self._jit_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------- params
+
+    def init_params(self, seed: int = 0) -> Dict[str, List[jax.Array]]:
+        key = jax.random.PRNGKey(seed)
+        params: Dict[str, List[jax.Array]] = {}
+        for impl in self.impls:
+            if not impl.params:
+                continue
+            keys = jax.random.split(key, len(impl.params) + 1)
+            key = keys[0]
+            params[impl.name] = [pi.init(k) for pi, k in zip(impl.params, keys[1:])]
+        return params
+
+    def load_weights(self, path_or_dict: Union[str, Dict[str, List[np.ndarray]]]) -> int:
+        """Load .caffemodel weights by layer name (net.cpp:750-806). Returns
+        the number of layers whose params were copied."""
+        weights = (
+            caffemodel.load_weights(path_or_dict) if isinstance(path_or_dict, str) else path_or_dict
+        )
+        copied = 0
+        for name, blobs in weights.items():
+            impl = self.layer_by_name.get(name)
+            if impl is None or not impl.params:
+                log.info("Ignoring source layer %s", name)
+                continue
+            if len(blobs) != len(impl.params):
+                raise ValueError(
+                    f"layer {name}: incompatible param count {len(blobs)} vs {len(impl.params)}"
+                )
+            new = []
+            for pi, arr in zip(impl.params, blobs):
+                want = int(np.prod(pi.caffe_shape))
+                if arr.size != want:
+                    raise ValueError(
+                        f"layer {name}: param size mismatch {arr.shape} vs caffe shape {pi.caffe_shape}"
+                    )
+                new.append(jnp.asarray(pi.import_caffe(np.asarray(arr, np.float32).reshape(pi.caffe_shape))))
+            self.params[name] = new
+            copied += 1
+        return copied
+
+    def export_weights(self) -> Dict[str, List[np.ndarray]]:
+        out: Dict[str, List[np.ndarray]] = {}
+        for impl in self.impls:
+            if impl.name in self.params:
+                out[impl.name] = [
+                    np.asarray(pi.export_caffe(np.asarray(p))).reshape(pi.caffe_shape)
+                    for pi, p in zip(impl.params, self.params[impl.name])
+                ]
+        return out
+
+    def save_caffemodel(self, path: str) -> None:
+        """Snapshot weights as a binary NetParameter (.caffemodel parity)."""
+        layers = []
+        for name, blobs in self.export_weights().items():
+            layers.append(
+                {
+                    "name": name,
+                    "type": self.layer_by_name[name].type,
+                    "blobs": [caffemodel.array_to_blob(b) for b in blobs],
+                }
+            )
+        caffemodel.save_net_parameter({"name": self.name, "layer": layers}, path)
+
+    # ------------------------------------------------------------ forward
+
+    def _apply(self, params, inputs: Dict[str, jax.Array], rng, knobs, training: bool):
+        blobs: Dict[str, jax.Array] = dict(inputs)
+        for impl in self.impls:
+            bots = [blobs[b] for b in impl.bottoms]
+            p = params.get(impl.name, [])
+            if impl.type == "Dropout":
+                rng, sub = jax.random.split(rng)
+                tops = impl.apply(p, bots, sub, training, knobs)
+            else:
+                tops = impl.apply(p, bots, rng, training, knobs)
+            for tname, t in zip(impl.tops, tops):
+                blobs[tname] = t
+        return blobs
+
+    def make_forward(self, outputs: Optional[Sequence[str]] = None, donate: bool = False):
+        """Return a jitted fn(params, inputs_dict, rng, knobs) -> {name: array}
+        producing physical-layout outputs."""
+        out_names = list(outputs) if outputs else self.output_names()
+        training = self.phase == "TRAIN"
+
+        def fwd(params, inputs, rng, knobs):
+            blobs = self._apply(params, inputs, rng, knobs, training)
+            return {k: blobs[k] for k in out_names}
+
+        return jax.jit(fwd)
+
+    def output_names(self) -> List[str]:
+        produced = set(self.input_names)
+        consumed = set()
+        for impl in self.impls:
+            inplace = set(impl.tops) & set(impl.bottoms)
+            consumed |= set(impl.bottoms) - inplace
+            produced |= set(impl.tops)
+        return [b for b in produced if b not in consumed]
+
+    def forward(
+        self,
+        inputs: Optional[Dict[str, np.ndarray]] = None,
+        outputs: Optional[Sequence[str]] = None,
+        knobs: Optional[Dict[str, Any]] = None,
+        rng: Optional[jax.Array] = None,
+        caffe_layout: bool = True,
+        **kw_inputs,
+    ) -> Dict[str, np.ndarray]:
+        """Convenience forward taking/returning caffe-layout (NCHW) arrays."""
+        inputs = dict(inputs or {})
+        inputs.update(kw_inputs)
+        phys: Dict[str, jax.Array] = {}
+        for name in self.input_names:
+            if name not in inputs:
+                raise ValueError(f"missing input blob {name!r}")
+            arr = jnp.asarray(inputs[name])
+            info = self.blob_infos[name]
+            if info.nhwc:
+                arr = layout.to_physical(arr).astype(self.dtype)
+            phys[name] = arr
+        key = ("fwd", tuple(outputs) if outputs else None)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self.make_forward(outputs)
+        fn = self._jit_cache[key]
+        knobs_t = {k: jnp.asarray(v, jnp.float32) for k, v in (knobs or {}).items()} or None
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        out = fn(self.params, phys, rng, knobs_t)
+        result = {}
+        for k, v in out.items():
+            info = self.blob_infos.get(k)
+            if caffe_layout and info is not None and info.nhwc:
+                v = layout.to_caffe(v)
+            result[k] = np.asarray(jax.device_get(v))
+        return result
+
+    def blob_shape(self, name: str) -> Tuple[int, ...]:
+        return self.blob_infos[name].shape_caffe
+
+    # loss helpers ------------------------------------------------------
+
+    def loss_tops(self) -> List[Tuple[str, float]]:
+        out = []
+        for impl in self.impls:
+            for i, t in enumerate(impl.tops):
+                w = impl.loss_weights[i] if i < len(impl.loss_weights) else 0.0
+                if w:
+                    out.append((t, float(w)))
+        return out
+
+    def make_loss_fn(self):
+        """fn(params, inputs, rng) -> scalar total weighted loss."""
+        tops = self.loss_tops()
+        if not tops:
+            raise ValueError("net has no loss tops")
+        training = self.phase == "TRAIN"
+
+        def loss_fn(params, inputs, rng):
+            blobs = self._apply(params, inputs, rng, None, training)
+            total = 0.0
+            for t, w in tops:
+                total = total + w * jnp.sum(blobs[t])
+            return total
+
+        return loss_fn
+
+
+def _internal_shape(pi: L.ParamInfo) -> Tuple[int, ...]:
+    """Shape of the internal (imported) param for abstract evaluation."""
+    probe = np.zeros(pi.caffe_shape, np.float32)
+    return tuple(np.asarray(pi.import_caffe(probe)).shape)

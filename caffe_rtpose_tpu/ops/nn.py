@@ -1,0 +1,228 @@
+"""Dense compute ops: convolution, deconvolution, pooling, LRN, inner product,
+batch norm.  All operate on physical NHWC activations and HWIO kernels (MXU
+native); semantics mirror the Caffe layers they stand in for (reference
+src/caffe/layers/{base_conv,conv,deconv,pooling,lrn,inner_product,batch_norm}_layer.cpp).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+DIMS_NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array],
+    *,
+    stride: Tuple[int, int],
+    pad: Tuple[int, int],
+    dilation: Tuple[int, int] = (1, 1),
+    groups: int = 1,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """Caffe Convolution forward. x: (N,H,W,Cin) w: (kh,kw,Cin/groups,Cout).
+
+    Output spatial dim = floor((in + 2p - dilated_k)/stride) + 1, matching
+    reference base_conv_layer.cpp compute_output_shape.
+    """
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+        rhs_dilation=dilation,
+        dimension_numbers=DIMS_NHWC,
+        feature_group_count=groups,
+        preferred_element_type=accum_dtype,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def deconv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array],
+    *,
+    stride: Tuple[int, int],
+    pad: Tuple[int, int],
+    dilation: Tuple[int, int] = (1, 1),
+    groups: int = 1,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """Caffe Deconvolution forward (transposed conv).
+
+    Output dim = stride*(in-1) + dilated_k - 2*pad (reference
+    deconv_layer.cpp).  Implemented as an input-dilated convolution with the
+    spatially-flipped kernel; ``w`` here is already the *equivalent direct
+    conv* kernel in HWIO (the core.layers builder does the flip/transpose from
+    the caffe blob).
+    """
+    kh = (w.shape[0] - 1) * dilation[0] + 1
+    kw = (w.shape[1] - 1) * dilation[1] + 1
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=[(kh - 1 - pad[0], kh - 1 - pad[0]), (kw - 1 - pad[1], kw - 1 - pad[1])],
+        lhs_dilation=stride,
+        rhs_dilation=dilation,
+        dimension_numbers=DIMS_NHWC,
+        feature_group_count=groups,
+        preferred_element_type=accum_dtype,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def pooled_size(in_size: int, k: int, s: int, p: int) -> int:
+    """Caffe pooling output size: ceil mode with clip (pooling_layer.cpp)."""
+    out = int(math.ceil((in_size + 2 * p - k) / float(s))) + 1
+    if p > 0 and (out - 1) * s >= in_size + p:
+        out -= 1
+    return out
+
+
+def max_pool2d(x: jax.Array, k: Tuple[int, int], s: Tuple[int, int], p: Tuple[int, int]) -> jax.Array:
+    n, h, w, c = x.shape
+    oh = pooled_size(h, k[0], s[0], p[0])
+    ow = pooled_size(w, k[1], s[1], p[1])
+    pad_h = (p[0], max(0, (oh - 1) * s[0] + k[0] - h - p[0]))
+    pad_w = (p[1], max(0, (ow - 1) * s[1] + k[1] - w - p[1]))
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    y = lax.reduce_window(
+        x,
+        neg,
+        lax.max,
+        window_dimensions=(1, k[0], k[1], 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )
+    return y[:, :oh, :ow, :]
+
+
+def avg_pool2d(x: jax.Array, k: Tuple[int, int], s: Tuple[int, int], p: Tuple[int, int]) -> jax.Array:
+    """Caffe AVE pooling: divisor is the window size clipped to the *padded*
+    bounds (so border windows divide by fewer than k*k only past the pad)."""
+    n, h, w, c = x.shape
+    oh = pooled_size(h, k[0], s[0], p[0])
+    ow = pooled_size(w, k[1], s[1], p[1])
+    pad_h = (p[0], max(0, (oh - 1) * s[0] + k[0] - h - p[0]))
+    pad_w = (p[1], max(0, (ow - 1) * s[1] + k[1] - w - p[1]))
+    y = lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        lax.add,
+        window_dimensions=(1, k[0], k[1], 1),
+        window_strides=(1, s[0], s[1], 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )[:, :oh, :ow, :]
+
+    def axis_counts(size, kk, ss, pp, out):
+        counts = np.empty(out, np.float32)
+        for i in range(out):
+            start = i * ss - pp
+            end = min(start + kk, size + pp)
+            counts[i] = end - start
+        return counts
+
+    ch = axis_counts(h, k[0], s[0], p[0], oh)
+    cw = axis_counts(w, k[1], s[1], p[1], ow)
+    div = jnp.asarray(np.outer(ch, cw), dtype=jnp.float32)[None, :, :, None]
+    return (y / div).astype(x.dtype)
+
+
+def inner_product(x2d: jax.Array, w: jax.Array, b: Optional[jax.Array], accum_dtype=jnp.float32) -> jax.Array:
+    """x2d: (M, K); w: (K, N) (already transposed from caffe (N, K))."""
+    y = jnp.dot(x2d, w, preferred_element_type=accum_dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def lrn_across_channels(x: jax.Array, local_size: int, alpha: float, beta: float, k: float) -> jax.Array:
+    """LRN ACROSS_CHANNELS on NHWC: scale = k + (alpha/n)*sum(x^2) over a
+    channel window of local_size centered at each channel."""
+    half = (local_size - 1) // 2
+    sq = (x * x).astype(jnp.float32)
+    ssum = lax.reduce_window(
+        sq,
+        0.0,
+        lax.add,
+        window_dimensions=(1, 1, 1, local_size),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (0, 0), (0, 0), (half, local_size - 1 - half)),
+    )
+    scale = k + (alpha / local_size) * ssum
+    return (x * jnp.power(scale, -beta).astype(x.dtype))
+
+
+def lrn_within_channel(x: jax.Array, local_size: int, alpha: float, beta: float, k: float) -> jax.Array:
+    half = (local_size - 1) // 2
+    sq = (x * x).astype(jnp.float32)
+    ssum = lax.reduce_window(
+        sq,
+        0.0,
+        lax.add,
+        window_dimensions=(1, local_size, local_size, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (half, local_size - 1 - half), (half, local_size - 1 - half), (0, 0)),
+    )
+    scale = k + (alpha / (local_size * local_size)) * ssum
+    return x * jnp.power(scale, -beta).astype(x.dtype)
+
+
+def batch_norm_inference(
+    x: jax.Array, mean: jax.Array, var: jax.Array, scale_factor: jax.Array, eps: float, channel_axis: int
+) -> jax.Array:
+    """Caffe BatchNorm (TEST / use_global_stats): stats blobs are *unscaled*
+    accumulators; divide by scale_factor first (batch_norm_layer.cpp)."""
+    sf = jnp.where(scale_factor == 0, 1.0, scale_factor)
+    m = (mean / sf).astype(jnp.float32)
+    v = (var / sf).astype(jnp.float32)
+    shape = [1] * x.ndim
+    shape[channel_axis] = x.shape[channel_axis]
+    m = m.reshape(shape)
+    v = v.reshape(shape)
+    return ((x.astype(jnp.float32) - m) * lax.rsqrt(v + eps)).astype(x.dtype)
+
+
+def batch_norm_training(x: jax.Array, eps: float, channel_axis: int):
+    """Returns (normalized x, batch_mean, batch_var) — EMA update is handled
+    by the training loop (mirrors Caffe's in-layer accumulation)."""
+    axes = tuple(i for i in range(x.ndim) if i != channel_axis)
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=axes)
+    # Caffe uses the biased (1/N) variance of the centered activations
+    v = jnp.mean(jnp.square(xf - m.reshape([1 if i != channel_axis else -1 for i in range(x.ndim)])), axis=axes)
+    shape = [1] * x.ndim
+    shape[channel_axis] = x.shape[channel_axis]
+    y = (xf - m.reshape(shape)) * lax.rsqrt(v.reshape(shape) + eps)
+    return y.astype(x.dtype), m, v
+
+
+def mvn(x: jax.Array, normalize_variance: bool, across_channels: bool, eps: float, ndim_caffe: int) -> jax.Array:
+    """Caffe MVN: normalize over (C,)H,W per sample (mvn_layer.cpp)."""
+    if x.ndim == 4:
+        axes = (1, 2, 3) if across_channels else (1, 2)
+    else:
+        axes = tuple(range(1, x.ndim))
+    xf = x.astype(jnp.float32)
+    m = jnp.mean(xf, axis=axes, keepdims=True)
+    y = xf - m
+    if normalize_variance:
+        # Caffe: std computed as E[x^2]-E[x]^2 then /(std+eps)
+        var = jnp.mean(jnp.square(xf), axis=axes, keepdims=True) - jnp.square(m)
+        y = y / (jnp.sqrt(var) + eps)
+    return y.astype(x.dtype)
