@@ -36,7 +36,7 @@ def conv2d(
     """
     y = lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=stride,
         padding=[(pad[0], pad[0]), (pad[1], pad[1])],
         rhs_dilation=dilation,
@@ -46,7 +46,7 @@ def conv2d(
     )
     if b is not None:
         y = y + b.astype(y.dtype)
-    return y
+    return y.astype(x.dtype)
 
 
 def deconv2d(
@@ -72,7 +72,7 @@ def deconv2d(
     kw = (w.shape[1] - 1) * dilation[1] + 1
     y = lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(1, 1),
         padding=[(kh - 1 - pad[0], kh - 1 - pad[0]), (kw - 1 - pad[1], kw - 1 - pad[1])],
         lhs_dilation=stride,
@@ -83,7 +83,7 @@ def deconv2d(
     )
     if b is not None:
         y = y + b.astype(y.dtype)
-    return y
+    return y.astype(x.dtype)
 
 
 def pooled_size(in_size: int, k: int, s: int, p: int) -> int:
@@ -145,10 +145,10 @@ def avg_pool2d(x: jax.Array, k: Tuple[int, int], s: Tuple[int, int], p: Tuple[in
 
 def inner_product(x2d: jax.Array, w: jax.Array, b: Optional[jax.Array], accum_dtype=jnp.float32) -> jax.Array:
     """x2d: (M, K); w: (K, N) (already transposed from caffe (N, K))."""
-    y = jnp.dot(x2d, w, preferred_element_type=accum_dtype)
+    y = jnp.dot(x2d, w.astype(x2d.dtype), preferred_element_type=accum_dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
-    return y
+    return y.astype(x2d.dtype)
 
 
 def lrn_across_channels(x: jax.Array, local_size: int, alpha: float, beta: float, k: float) -> jax.Array:

@@ -1,0 +1,304 @@
+"""PAF limb assembly: candidate scoring + greedy bipartite matching + person
+subset growth.
+
+Faithful re-expression of connectLimbsCOCO / connectLimbs (reference
+examples/rtpose/rtpose.cpp:808-1076 / 549-751), split TPU-first:
+
+* the O(limbs * nA * nB * 10) PAF line integrals run **on device** inside the
+  jitted forward (:func:`score_pairs`) — they vectorize perfectly;
+* the inherently sequential greedy matching + subset merging (tiny:
+  <= 19 limbs x 64 x 64 candidates) runs on host in :func:`assemble`,
+  consuming the precomputed score/validity tensors.
+
+A pure-numpy scorer (:func:`score_pairs_np`) provides the independent oracle
+for tests and a CPU fallback.
+
+Numerical notes kept bit-faithful:
+* sample coordinates use C ``round()`` = half-away-from-zero; coordinates are
+  non-negative so ``floor(x + 0.5)`` is exact;
+* the COCO variant clamps sample coords to the map (rtpose.cpp:920-927), the
+  MPI variant does not;
+* candidate rows are sorted by connection score (double) descending
+  (ColumnCompare, rtpose.cpp:144-152); we use a stable sort, which fixes the
+  reference's unspecified tie order;
+* subset bookkeeping is float64, matching the reference's
+  ``vector<vector<double>>``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .descriptor import RENDER_MAX_PEOPLE, ConnectParams, ModelDescriptor
+
+NUM_INTER = 10  # line-integral samples (rtpose.cpp num_inter)
+
+
+def score_pairs(
+    heatmap: jax.Array,  # (C_total, H, W) resized maps (parts + bkg + PAFs)
+    peaks: jax.Array,  # (num_parts, max_peaks+1, 3)
+    desc: ModelDescriptor,
+    inter_threshold,
+) -> Tuple[jax.Array, jax.Array]:
+    """Device-side candidate scoring for every limb and peak pair.
+
+    Returns (pair_score, pair_count): both (num_limbs, max_peaks, max_peaks)
+    float32/int32 where pair_score = sum(qualified sample dots) and
+    pair_count = number of samples with dot > inter_threshold.  A pair is a
+    usable candidate iff count > inter_min_above_threshold AND the two peaks
+    are distinct (norm >= 1e-6) AND both slots are real peaks — the host side
+    applies those gates.
+    """
+    c_total, h, w = heatmap.shape
+    max_peaks = peaks.shape[1] - 1
+    L = desc.num_limbs
+    hm = heatmap.astype(jnp.float32)
+
+    limb_a = jnp.asarray([desc.limb(k)[0] for k in range(L)])
+    limb_b = jnp.asarray([desc.limb(k)[1] for k in range(L)])
+    paf_x = jnp.asarray([desc.paf_channels(k)[0] for k in range(L)])
+    paf_y = jnp.asarray([desc.paf_channels(k)[1] for k in range(L)])
+
+    cand_a = peaks[limb_a, 1:, :]  # (L, P, 3)
+    cand_b = peaks[limb_b, 1:, :]
+
+    ax = cand_a[:, :, None, 0]  # (L, P, 1)
+    ay = cand_a[:, :, None, 1]
+    bx = cand_b[:, None, :, 0]  # (L, 1, P)
+    by = cand_b[:, None, :, 1]
+    dx = bx - ax  # (L, P, P)
+    dy = by - ay
+    norm = jnp.sqrt(dx * dx + dy * dy)
+    inv = jnp.where(norm < 1e-6, 0.0, 1.0 / jnp.maximum(norm, 1e-12))
+    vx = dx * inv
+    vy = dy * inv
+
+    lm = jnp.arange(NUM_INTER, dtype=jnp.float32).reshape(1, 1, 1, NUM_INTER)
+    # C round() for non-negative values
+    sx = jnp.floor(ax[..., None] + lm * dx[..., None] / NUM_INTER + 0.5).astype(jnp.int32)
+    sy = jnp.floor(ay[..., None] + lm * dy[..., None] / NUM_INTER + 0.5).astype(jnp.int32)
+    if desc.clamp_samples:
+        sx = jnp.minimum(sx, w - 1)
+        sy = jnp.minimum(sy, h - 1)
+    # always clamp for memory safety; the unclamped MPI path would read OOB
+    sx = jnp.clip(sx, 0, w - 1)
+    sy = jnp.clip(sy, 0, h - 1)
+    flat = (sy * w + sx).reshape(L, -1)  # (L, P*P*10)
+
+    hm_flat = hm.reshape(c_total, h * w)
+    mx = jnp.take(hm_flat, paf_x, axis=0)  # (L, H*W)
+    my = jnp.take(hm_flat, paf_y, axis=0)
+    px = jnp.take_along_axis(mx, flat, axis=1).reshape(L, max_peaks, max_peaks, NUM_INTER)
+    py = jnp.take_along_axis(my, flat, axis=1).reshape(L, max_peaks, max_peaks, NUM_INTER)
+
+    dots = vx[..., None] * px + vy[..., None] * py
+    qual = dots > inter_threshold
+    pair_score = jnp.sum(jnp.where(qual, dots, 0.0), axis=-1)
+    pair_count = jnp.sum(qual, axis=-1).astype(jnp.int32)
+    # coincident peaks never connect
+    distinct = norm >= 1e-6
+    pair_count = jnp.where(distinct, pair_count, 0)
+    return pair_score, pair_count
+
+
+def score_pairs_np(
+    heatmap: np.ndarray,
+    peaks: np.ndarray,
+    desc: ModelDescriptor,
+    inter_threshold: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Loop-for-loop oracle mirroring the reference inner loops exactly."""
+    c_total, h, w = heatmap.shape
+    max_peaks = peaks.shape[1] - 1
+    L = desc.num_limbs
+    score = np.zeros((L, max_peaks, max_peaks), np.float32)
+    count = np.zeros((L, max_peaks, max_peaks), np.int32)
+    for k in range(L):
+        a_id, b_id = desc.limb(k)
+        cx, cy = desc.paf_channels(k)
+        map_x, map_y = heatmap[cx], heatmap[cy]
+        nA = int(peaks[a_id, 0, 0])
+        nB = int(peaks[b_id, 0, 0])
+        for i in range(1, nA + 1):
+            for j in range(1, nB + 1):
+                s_x, s_y = peaks[a_id, i, 0], peaks[a_id, i, 1]
+                d_x = peaks[b_id, j, 0] - s_x
+                d_y = peaks[b_id, j, 1] - s_y
+                norm = np.sqrt(d_x * d_x + d_y * d_y)
+                if norm < 1e-6:
+                    continue
+                v_x, v_y = d_x / norm, d_y / norm
+                ssum, cnt = 0.0, 0
+                for lm in range(NUM_INTER):
+                    mx = int(np.floor(s_x + lm * d_x / NUM_INTER + 0.5))
+                    my = int(np.floor(s_y + lm * d_y / NUM_INTER + 0.5))
+                    if desc.clamp_samples:
+                        mx = min(mx, w - 1)
+                        my = min(my, h - 1)
+                    mx = min(max(mx, 0), w - 1)
+                    my = min(max(my, 0), h - 1)
+                    d = v_x * map_x[my, mx] + v_y * map_y[my, mx]
+                    if d > inter_threshold:
+                        ssum += d
+                        cnt += 1
+                score[k, i - 1, j - 1] = ssum
+                count[k, i - 1, j - 1] = cnt
+    return score, count
+
+
+@dataclass
+class AssembleResult:
+    joints: np.ndarray  # (num_people, num_parts, 3): x, y (net coords scaled), score
+    num_people: int
+    subsets: List[np.ndarray]
+
+
+def assemble(
+    peaks: np.ndarray,  # (num_parts, max_peaks+1, 3)
+    pair_score: np.ndarray,  # (L, P, P) summed qualified dots
+    pair_count: np.ndarray,  # (L, P, P)
+    desc: ModelDescriptor,
+    params: ConnectParams,
+    scale_xy: Tuple[float, float] = (1.0, 1.0),
+    dedup_single_endpoint: Optional[bool] = None,
+    max_people: int = RENDER_MAX_PEOPLE,
+) -> AssembleResult:
+    """Host-side greedy matching + subset growth (connectLimbs[COCO]).
+
+    ``scale_xy`` mirrors the display rescale (DISPLAY_RES / NET_RES) baked
+    into the reference joint output (rtpose.cpp:1058-1060).
+    ``dedup_single_endpoint``: the COCO variant skips re-adding single-part
+    subsets whose peak is already claimed (rtpose.cpp:849-895); defaults to
+    the descriptor's variant.
+    """
+    num_parts = desc.num_parts
+    L = desc.num_limbs
+    max_peaks = peaks.shape[1] - 1
+    peaks_flat = np.asarray(peaks, np.float64).reshape(-1)
+    peaks_offset = 3 * (max_peaks + 1)
+    if dedup_single_endpoint is None:
+        dedup_single_endpoint = desc.clamp_samples  # COCO behavior
+
+    SUBSET_CNT = num_parts + 2
+    SUBSET_SCORE = num_parts + 1
+    SUBSET_SIZE = num_parts + 3
+    subsets: List[np.ndarray] = []
+
+    for k in range(L):
+        part_a, part_b = desc.limb(k)
+        cand_a = peaks[part_a]
+        cand_b = peaks[part_b]
+        nA = min(int(cand_a[0, 0]), max_peaks)
+        nB = min(int(cand_b[0, 0]), max_peaks)
+
+        if nA == 0 and nB == 0:
+            continue
+        if nA == 0:
+            for i in range(1, nB + 1):
+                off = part_b * peaks_offset + i * 3 + 2
+                if dedup_single_endpoint and any(s[part_b] == off for s in subsets):
+                    continue
+                row = np.zeros(SUBSET_SIZE, np.float64)
+                row[part_b] = off
+                row[SUBSET_CNT] = 1
+                row[SUBSET_SCORE] = cand_b[i, 2]
+                subsets.append(row)
+            continue
+        if nB == 0:
+            for i in range(1, nA + 1):
+                off = part_a * peaks_offset + i * 3 + 2
+                if dedup_single_endpoint and any(s[part_a] == off for s in subsets):
+                    continue
+                row = np.zeros(SUBSET_SIZE, np.float64)
+                row[part_a] = off
+                row[SUBSET_CNT] = 1
+                row[SUBSET_SCORE] = cand_a[i, 2]
+                subsets.append(row)
+            continue
+
+        # candidate rows: [i, j, connection_score, total_score]
+        temp: List[Tuple[int, int, float]] = []
+        for i in range(1, nA + 1):
+            for j in range(1, nB + 1):
+                cnt = int(pair_count[k, i - 1, j - 1])
+                if cnt > params.inter_min_above_threshold:
+                    temp.append((i, j, float(pair_score[k, i - 1, j - 1]) / cnt))
+        # sort by connection score descending (stable)
+        temp.sort(key=lambda r: -r[2])
+
+        connection_k: List[Tuple[float, float, float]] = []
+        occur_a = np.zeros(nA, bool)
+        occur_b = np.zeros(nB, bool)
+        num = min(nA, nB)
+        for i, j, score in temp:
+            if len(connection_k) == num:
+                break
+            if not occur_a[i - 1] and not occur_b[j - 1]:
+                connection_k.append(
+                    (part_a * peaks_offset + i * 3 + 2, part_b * peaks_offset + j * 3 + 2, score)
+                )
+                occur_a[i - 1] = True
+                occur_b[j - 1] = True
+
+        if k == 0:
+            for idx_a, idx_b, score in connection_k:
+                row = np.zeros(SUBSET_SIZE, np.float64)
+                row[desc.limb_sequence[0]] = idx_a
+                row[desc.limb_sequence[1]] = idx_b
+                row[SUBSET_CNT] = 2
+                row[SUBSET_SCORE] = peaks_flat[int(idx_a)] + peaks_flat[int(idx_b)] + score
+                subsets.append(row)
+        else:
+            if not connection_k:
+                continue
+            for idx_a, idx_b, score in connection_k:
+                found = 0
+                for s in subsets:
+                    if s[part_a] == idx_a:
+                        s[part_b] = idx_b
+                        found += 1
+                        s[SUBSET_CNT] += 1
+                        s[SUBSET_SCORE] += peaks_flat[int(idx_b)] + score
+                if found == 0:
+                    row = np.zeros(SUBSET_SIZE, np.float64)
+                    row[part_a] = idx_a
+                    row[part_b] = idx_b
+                    row[SUBSET_CNT] = 2
+                    row[SUBSET_SCORE] = peaks_flat[int(idx_a)] + peaks_flat[int(idx_b)] + score
+                    subsets.append(row)
+
+    # final filter + joint emission (rtpose.cpp:1044-1070)
+    sx, sy = scale_xy
+    people = []
+    for s in subsets:
+        if s[SUBSET_CNT] >= params.min_subset_cnt and (s[SUBSET_SCORE] / s[SUBSET_CNT]) > params.min_subset_score:
+            joints = np.zeros((num_parts, 3), np.float32)
+            for j in range(num_parts):
+                idx = int(s[j])
+                if idx:
+                    joints[j, 2] = peaks_flat[idx]
+                    joints[j, 1] = peaks_flat[idx - 1] * sy
+                    joints[j, 0] = peaks_flat[idx - 2] * sx
+            people.append(joints)
+            if len(people) == max_people:
+                break
+    joints_arr = np.stack(people) if people else np.zeros((0, num_parts, 3), np.float32)
+    return AssembleResult(joints=joints_arr, num_people=len(people), subsets=subsets)
+
+
+def connect_limbs(
+    heatmap: np.ndarray,
+    peaks: np.ndarray,
+    desc: ModelDescriptor,
+    params: Optional[ConnectParams] = None,
+    scale_xy: Tuple[float, float] = (1.0, 1.0),
+) -> AssembleResult:
+    """Full host-side path (oracle / CPU fallback): score + assemble."""
+    params = params or desc.defaults
+    score, count = score_pairs_np(heatmap, peaks, desc, params.inter_threshold)
+    return assemble(peaks, score, count, desc, params, scale_xy)

@@ -1,0 +1,117 @@
+"""Frame preprocessing: aspect-preserving display warp + per-scale resize,
+center-pad and normalize — byte-for-byte the reference producer semantics
+(process_and_pad_image rtpose.cpp:239-269; scale loop rtpose.cpp:508-518;
+display warp rtpose.cpp:325-338/475-487).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 is present in the target image
+    cv2 = None
+
+
+def display_scale(ori_w: int, ori_h: int, disp_w: int, disp_h: int) -> float:
+    """Aspect-preserving scale into the display canvas (rtpose.cpp:325-330)."""
+    if ori_w / float(ori_h) > disp_w / float(disp_h):
+        return disp_w / float(ori_w)
+    return disp_h / float(ori_h)
+
+
+def warp_to_display(img_bgr: np.ndarray, disp_w: int, disp_h: int) -> Tuple[np.ndarray, float]:
+    """Scale about the origin into a (disp_h, disp_w) canvas, black-padded
+    bottom/right (cv2.warpAffine with a diagonal matrix, CV_INTER_CUBIC)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV unavailable")
+    scale = display_scale(img_bgr.shape[1], img_bgr.shape[0], disp_w, disp_h)
+    M = np.array([[scale, 0, 0], [0, scale, 0]], np.float64)
+    warped = cv2.warpAffine(
+        img_bgr, M, (disp_w, disp_h), flags=cv2.INTER_CUBIC,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=(0, 0, 0),
+    )
+    return warped, scale
+
+
+def pad_and_normalize(img_bgr: np.ndarray, tw: int, th: int, normalize: bool) -> np.ndarray:
+    """process_and_pad_image: center-place into (th, tw), x/256 - 0.5, CHW."""
+    oh, ow = img_bgr.shape[:2]
+    padw = (tw - ow) // 2
+    padh = (th - oh) // 2
+    if padw < 0 or padh < 0:
+        raise ValueError("Image too big for target size.")
+    out = np.zeros((3, th, tw), np.float32)
+    img = img_bgr.astype(np.float32)
+    if normalize:
+        img = img / 256.0 - 0.5
+    out[:, padh : padh + oh, padw : padw + ow] = img.transpose(2, 0, 1)
+    return out
+
+
+def scale_dims(net_w: int, net_h: int, scale: float) -> Tuple[int, int]:
+    """Per-scale target dims: 16 * ceil(net_dim * scale / 16) (rtpose.cpp:509-511)."""
+    tw = 16 * int(math.ceil(net_w * scale / 16))
+    th = 16 * int(math.ceil(net_h * scale / 16))
+    if tw > net_w or th > net_h:
+        raise ValueError("scale produces dims above net resolution")
+    return tw, th
+
+
+def make_net_input(
+    img_bgr: np.ndarray,
+    net_w: int,
+    net_h: int,
+    num_scales: int = 1,
+    start_scale: float = 1.0,
+    scale_gap: float = 0.3,
+) -> np.ndarray:
+    """Display-res frame -> (num_scales, 3, net_h, net_w) float32 net input
+    (CV_INTER_AREA per-scale resize + center pad + /256-0.5)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV unavailable")
+    out = np.zeros((num_scales, 3, net_h, net_w), np.float32)
+    for i in range(num_scales):
+        scale = start_scale - i * scale_gap
+        tw, th = scale_dims(net_w, net_h, scale)
+        resized = cv2.resize(img_bgr, (tw, th), interpolation=cv2.INTER_AREA)
+        out[i] = pad_and_normalize(resized, net_w, net_h, normalize=True)
+    return out
+
+
+@dataclass
+class PreprocessedFrame:
+    net_input: np.ndarray  # (S, 3, net_h, net_w)
+    display: Optional[np.ndarray]  # (disp_h, disp_w, 3) u8 warped frame
+    scale: float  # display scale vs original (for JSON 1/scale rescale)
+    ori_width: int
+    ori_height: int
+
+
+def preprocess_frame(
+    img_bgr: np.ndarray,
+    net_w: int,
+    net_h: int,
+    disp_w: Optional[int] = None,
+    disp_h: Optional[int] = None,
+    num_scales: int = 1,
+    start_scale: float = 1.0,
+    scale_gap: float = 0.3,
+) -> PreprocessedFrame:
+    """Full producer-side transform for one frame (getFrameFromDir path)."""
+    ori_h, ori_w = img_bgr.shape[:2]
+    if disp_w is None or disp_h is None:
+        disp_w, disp_h = ori_w, ori_h
+        display = img_bgr
+        scale = 1.0
+    else:
+        display, scale = warp_to_display(img_bgr, disp_w, disp_h)
+    net_input = make_net_input(display, net_w, net_h, num_scales, start_scale, scale_gap)
+    return PreprocessedFrame(
+        net_input=net_input, display=display, scale=scale, ori_width=ori_w, ori_height=ori_h
+    )

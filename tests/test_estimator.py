@@ -1,0 +1,94 @@
+"""End-to-end PoseEstimator tests on the shipped COCO deploy prototxt with
+random-initialized weights: the fused device path (CNN -> ImResize -> NMS ->
+PAF scoring in one jit) must agree with host-side recomputation from the
+resized heatmaps."""
+
+import os
+
+import numpy as np
+import pytest
+
+from caffe_rtpose_tpu.ops.nms import nms_peaks
+from caffe_rtpose_tpu.pose import connect as C
+from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+from caffe_rtpose_tpu.pose.preprocess import make_net_input, pad_and_normalize, scale_dims
+
+import jax.numpy as jnp
+
+REF_COCO = "/root/reference/model/coco/pose_deploy_linevec.prototxt"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(REF_COCO), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def est():
+    return PoseEstimator(
+        REF_COCO, net_resolution=(128, 80), num_scales=1, seed=11, keep_heatmap=True
+    )
+
+
+def test_estimator_shapes(est):
+    rs = np.random.RandomState(0)
+    x = rs.rand(1, 3, 80, 128).astype(np.float32) - 0.5
+    out = est.run_device(x)
+    assert out["peaks"].shape == (18, 65, 3)
+    assert out["pair_score"].shape == (19, 64, 64)
+    assert out["heatmap"].shape == (57, 80, 128)
+
+
+def test_fused_path_matches_host_recompute(est):
+    rs = np.random.RandomState(1)
+    x = rs.rand(1, 3, 80, 128).astype(np.float32) - 0.5
+    # random-weight heatmaps hover near 0; drop thresholds to exercise peaks
+    out = est.run_device(x, nms_threshold=-1.0, inter_threshold=-10.0)
+    hm = np.asarray(out["heatmap"])
+    peaks_dev = np.asarray(out["peaks"])
+    # host recompute of NMS from the same heatmaps
+    peaks_host = np.asarray(nms_peaks(jnp.asarray(hm[:18]), -1.0, 64))
+    np.testing.assert_allclose(peaks_dev, peaks_host, rtol=1e-4, atol=1e-4)
+    assert peaks_dev[:, 0, 0].sum() > 0  # some peaks found
+    # host recompute of pair scores
+    s_np, c_np = C.score_pairs_np(hm, peaks_dev, est.descriptor, -10.0)
+    s_dev = np.asarray(out["pair_score"])
+    c_dev = np.asarray(out["pair_count"])
+    for k in range(est.descriptor.num_limbs):
+        a, b = est.descriptor.limb(k)
+        na = min(int(peaks_dev[a, 0, 0]), 64)
+        nb = min(int(peaks_dev[b, 0, 0]), 64)
+        np.testing.assert_allclose(s_dev[k, :na, :nb], s_np[k, :na, :nb], rtol=2e-3, atol=2e-3)
+        np.testing.assert_array_equal(c_dev[k, :na, :nb], c_np[k, :na, :nb])
+
+
+def test_estimate_full_frame(est):
+    rs = np.random.RandomState(2)
+    frame = (rs.rand(60, 100, 3) * 255).astype(np.uint8)
+    result, pf = est.estimate(frame, disp_w=256, disp_h=160)
+    assert pf.net_input.shape == (1, 3, 80, 128)
+    assert result.joints.shape[1:] == (18, 3) if result.num_people else True
+    assert result.peaks.shape == (18, 65, 3)
+
+
+def test_preprocess_exact_semantics():
+    img = np.zeros((5, 6, 3), np.uint8)
+    img[:, :, 0] = 128
+    out = pad_and_normalize(img, 10, 9, normalize=True)
+    assert out.shape == (3, 9, 10)
+    # centered: padw=(10-6)//2=2, padh=(9-5)//2=2
+    assert out[0, 2, 2] == pytest.approx(128 / 256.0 - 0.5)
+    assert out[0, 0, 0] == 0.0
+    assert out[0, 2, 1] == 0.0
+    assert scale_dims(656, 368, 1.0) == (656, 368)
+    assert scale_dims(656, 368, 0.7) == (464, 272)  # 16*ceil(656*.7/16)=16*29
+
+
+def test_make_net_input_multiscale():
+    rs = np.random.RandomState(3)
+    img = (rs.rand(368, 656, 3) * 255).astype(np.uint8)
+    x = make_net_input(img, 656, 368, num_scales=2, start_scale=1.0, scale_gap=0.3)
+    assert x.shape == (2, 3, 368, 656)
+    # scale 0 covers the full frame; scale 1 (0.7) is centered with zero pad
+    assert np.abs(x[0]).max() <= 0.5
+    tw, th = scale_dims(656, 368, 0.7)
+    padw, padh = (656 - tw) // 2, (368 - th) // 2
+    assert np.all(x[1, :, :padh, :] == 0)
+    assert np.all(x[1, :, :, :padw] == 0)
