@@ -264,9 +264,22 @@ class Net:
 
     # ------------------------------------------------------------ forward
 
-    def _apply(self, params, inputs: Dict[str, jax.Array], rng, knobs, training: bool):
+    def prune_for(self, outputs: Sequence[str]) -> List[Any]:
+        """Dead-layer elimination: the impl subsequence needed to produce
+        ``outputs`` (keeps in-place chains intact by blob-name dependency)."""
+        needed = set(outputs)
+        keep: List[Any] = []
+        for impl in reversed(self.impls):
+            if any(t in needed for t in impl.tops):
+                keep.append(impl)
+                needed |= set(impl.bottoms)
+        keep.reverse()
+        return keep
+
+    def _apply(self, params, inputs: Dict[str, jax.Array], rng, knobs, training: bool,
+               impls: Optional[List[Any]] = None):
         blobs: Dict[str, jax.Array] = dict(inputs)
-        for impl in self.impls:
+        for impl in (impls if impls is not None else self.impls):
             bots = [blobs[b] for b in impl.bottoms]
             p = params.get(impl.name, [])
             if impl.type == "Dropout":

@@ -76,6 +76,45 @@ def _matrices(
     return np.stack(Ays), np.stack(Axs)
 
 
+def scale_pads(H: int, W: int, n: int, start_scale: float, scale_gap: float) -> Tuple[int, int]:
+    """(padh, padw) of scale n (imresize_layer.cu:110-111)."""
+    padw = int(np.floor(W / 2 * (1.0 - start_scale + n * scale_gap)))
+    padh = int(np.floor(H / 2 * (1.0 - start_scale + n * scale_gap)))
+    return padh, padw
+
+
+def axis_weights_dense(coords: jax.Array, src_full: int, pad: int, target: int) -> jax.Array:
+    """Dense bicubic tap weights for arbitrary (traced) integer output coords.
+
+    Returns (M, src_full) float32 such that ``weights @ src_axis`` equals the
+    upsampled value along that axis — the device-side closed form of
+    :func:`_axis_matrix` (same truncation/clamp/pad logic), used by the PAF
+    sampler to read upsampled maps at dynamic coordinates *without gathers*:
+    the taps become comparisons against an iota and the read becomes a matmul.
+    """
+    osz = src_full - 2 * pad
+    t = coords.astype(jnp.float32)
+    offset = jnp.float32(target / float(osz) / 2.0 - 0.5)
+    on_ori = (t - offset) * jnp.float32(float(osz) / target)
+    n1 = jnp.trunc(on_ori + 1e-5).astype(jnp.int32)
+    n1 = jnp.maximum(n1, 0)
+    n0 = jnp.where(n1 - 1 < 0, n1, n1 - 1)
+    n2 = jnp.where(n1 + 1 >= osz, osz - 1, n1 + 1)
+    n3 = jnp.where(n2 + 1 >= osz, osz - 1, n2 + 1)
+    dx = on_ori - n1.astype(jnp.float32)
+    dx2 = dx * dx
+    dx3 = dx2 * dx
+    w0 = -0.5 * dx3 + dx2 - 0.5 * dx
+    w1 = 1.5 * dx3 - 2.5 * dx2 + 1.0
+    w2 = -1.5 * dx3 + 2.0 * dx2 + 0.5 * dx
+    w3 = 0.5 * dx3 - 0.5 * dx2
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, src_full), 1)
+    out = jnp.zeros((coords.shape[0], src_full), jnp.float32)
+    for nei, wgt in ((n0, w0), (n1, w1), (n2, w2), (n3, w3)):
+        out = out + wgt[:, None] * (iota == (nei + pad)[:, None]).astype(jnp.float32)
+    return out
+
+
 def imresize_average(
     x: jax.Array,
     target_h: int,
@@ -94,6 +133,8 @@ def imresize_average(
     Ax = jnp.asarray(Ax_np)  # (S, tw, W)
     xf = x.astype(jnp.float32)
     # per scale: out[y, x, c] = sum_h sum_w Ay[y,h] * src[h,w,c] * Ax[x,w]
-    tmp = jnp.einsum("syh,shwc->sywc", Ay, xf, preferred_element_type=jnp.float32)
-    out = jnp.einsum("sxw,sywc->syxc", Ax, tmp, preferred_element_type=jnp.float32)
+    tmp = jnp.einsum("syh,shwc->sywc", Ay, xf, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("sxw,sywc->syxc", Ax, tmp, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.mean(out, axis=0, keepdims=True)

@@ -69,13 +69,20 @@ def nms_peaks(
     mask_flat = mask.reshape(c, hw)
     counts = jnp.sum(mask_flat, axis=1).astype(jnp.int32)  # uncapped
 
-    # raster-order compaction: top_k over key = (hw - pos) for masked pixels
-    pos = jnp.arange(hw, dtype=jnp.int32)
-    key = jnp.where(mask_flat, hw - pos, 0)
+    # Raster-order compaction via top_k over key = (hw - pos) for masked
+    # pixels.  TPU top_k is a full sort, so first reduce 4x: two strict local
+    # maxima can never share a 2x2 block (they would be 8-neighbors), hence a
+    # 2x2 block-max of the keys preserves every peak.
+    pos2d = jnp.arange(hw, dtype=jnp.int32).reshape(h, w)
+    key = jnp.where(mask, hw - pos2d, 0)  # (C, H, W)
+    # odd trailing row/col are borders (never peaks), safe to drop
+    h2, w2 = h - (h % 2), w - (w % 2)
+    kb = key[:, :h2, :w2].reshape(c, h2 // 2, 2, w2 // 2, 2).max(axis=(2, 4))
+    kb = kb.reshape(c, -1)
     topk = min(max_peaks, hw)
-    kvals, kidx = jax.lax.top_k(key, topk)  # (C, topk) descending key = ascending pos
+    kvals, _ = jax.lax.top_k(kb, topk)  # descending key = ascending pos
     valid = kvals > 0  # rank < count
-    peak_pos = jnp.where(valid, kidx, 0)
+    peak_pos = jnp.where(valid, hw - kvals, 0)
     px = (peak_pos % w).astype(jnp.float32)
     py = (peak_pos // w).astype(jnp.float32)
 

@@ -100,7 +100,8 @@ def max_pool2d(x: jax.Array, k: Tuple[int, int], s: Tuple[int, int], p: Tuple[in
     ow = pooled_size(w, k[1], s[1], p[1])
     pad_h = (p[0], max(0, (oh - 1) * s[0] + k[0] - h - p[0]))
     pad_w = (p[1], max(0, (ow - 1) * s[1] + k[1] - w - p[1]))
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init keeps XLA's select-and-scatter gradient rule applicable
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     y = lax.reduce_window(
         x,
         neg,

@@ -106,6 +106,95 @@ def score_pairs(
     return pair_score, pair_count
 
 
+def score_pairs_lowres(
+    lowres: jax.Array,  # (S, h, w, C_total) net-output maps, NHWC (concat_stage7)
+    peaks: jax.Array,  # (num_parts, max_peaks+1, 3)
+    desc: ModelDescriptor,
+    target_hw: Tuple[int, int],
+    start_scale: float,
+    scale_gap: float,
+    inter_threshold,
+) -> Tuple[jax.Array, jax.Array]:
+    """Candidate scoring that samples the *upsampled, scale-averaged* PAF maps
+    directly from the low-res network output — mathematically identical to
+    :func:`score_pairs` on the ImResize output, since the upsampled value at
+    integer coords (Y, X) is ``mean_n Ay_n[Y] @ src_n @ Ax_n[X]^T``.
+
+    TPU rationale: sampling the full-res maps is a scalarized gather (~20 ms
+    at 656x368); here the bicubic taps become dense weight rows built with
+    pure VPU arithmetic and the map read becomes small MXU matmuls (~1 ms),
+    and the 57-channel full-res upsample is no longer needed at all.
+    """
+    from ..ops.imresize import axis_weights_dense, scale_pads
+
+    s, h, w, c_total = lowres.shape
+    th, tw = target_hw
+    max_peaks = peaks.shape[1] - 1
+    L = desc.num_limbs
+    src = lowres.astype(jnp.float32)
+
+    limb_a = jnp.asarray([desc.limb(k)[0] for k in range(L)])
+    limb_b = jnp.asarray([desc.limb(k)[1] for k in range(L)])
+
+    cand_a = peaks[limb_a, 1:, :]
+    cand_b = peaks[limb_b, 1:, :]
+    ax = cand_a[:, :, None, 0]
+    ay = cand_a[:, :, None, 1]
+    bx = cand_b[:, None, :, 0]
+    by = cand_b[:, None, :, 1]
+    dx = bx - ax
+    dy = by - ay
+    norm = jnp.sqrt(dx * dx + dy * dy)
+    inv = jnp.where(norm < 1e-6, 0.0, 1.0 / jnp.maximum(norm, 1e-12))
+    vx = dx * inv
+    vy = dy * inv
+
+    lm = jnp.arange(NUM_INTER, dtype=jnp.float32).reshape(1, 1, 1, NUM_INTER)
+    sx = jnp.floor(ax[..., None] + lm * dx[..., None] / NUM_INTER + 0.5).astype(jnp.int32)
+    sy = jnp.floor(ay[..., None] + lm * dy[..., None] / NUM_INTER + 0.5).astype(jnp.int32)
+    if desc.clamp_samples:
+        sx = jnp.minimum(sx, tw - 1)
+        sy = jnp.minimum(sy, th - 1)
+    sx = jnp.clip(sx, 0, tw - 1)
+    sy = jnp.clip(sy, 0, th - 1)
+
+    M = max_peaks * max_peaks * NUM_INTER
+    pads = [scale_pads(h, w, n, start_scale, scale_gap) for n in range(s)]
+
+    def sample_limb(k: int) -> Tuple[jax.Array, jax.Array]:
+        cx, cy = desc.paf_channels(k)
+        ys = sy[k].reshape(M)
+        xs = sx[k].reshape(M)
+        val_x = jnp.zeros((M,), jnp.float32)
+        val_y = jnp.zeros((M,), jnp.float32)
+        for n in range(s):
+            padh, padw = pads[n]
+            Yd = axis_weights_dense(ys, h, padh, th)  # (M, h)
+            Xd = axis_weights_dense(xs, w, padw, tw)  # (M, w)
+            for ch, acc in ((cx, "x"), (cy, "y")):
+                plane = src[n, :, :, ch]  # (h, w)
+                tmp = jnp.dot(Yd, plane, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # (M, w)
+                v = jnp.sum(tmp * Xd, axis=1)
+                if acc == "x":
+                    val_x = val_x + v
+                else:
+                    val_y = val_y + v
+        return val_x / s, val_y / s
+
+    vals = [sample_limb(k) for k in range(L)]
+    px = jnp.stack([v[0] for v in vals]).reshape(L, max_peaks, max_peaks, NUM_INTER)
+    py = jnp.stack([v[1] for v in vals]).reshape(L, max_peaks, max_peaks, NUM_INTER)
+
+    dots = vx[..., None] * px + vy[..., None] * py
+    qual = dots > inter_threshold
+    pair_score = jnp.sum(jnp.where(qual, dots, 0.0), axis=-1)
+    pair_count = jnp.sum(qual, axis=-1).astype(jnp.int32)
+    distinct = norm >= 1e-6
+    pair_count = jnp.where(distinct, pair_count, 0)
+    return pair_score, pair_count
+
+
 def score_pairs_np(
     heatmap: np.ndarray,
     peaks: np.ndarray,

@@ -84,6 +84,43 @@ def make_net_input(
     return out
 
 
+def region_boxes(net_w: int, net_h: int, num_scales: int, start_scale: float, scale_gap: float):
+    """Static per-scale image regions inside the padded canvas:
+    (y0, y1, x0, x1) per scale."""
+    boxes = []
+    for i in range(num_scales):
+        tw, th = scale_dims(net_w, net_h, start_scale - i * scale_gap)
+        padw = (net_w - tw) // 2
+        padh = (net_h - th) // 2
+        boxes.append((padh, padh + th, padw, padw + tw))
+    return boxes
+
+
+def make_net_input_u8(
+    img_bgr: np.ndarray,
+    net_w: int,
+    net_h: int,
+    num_scales: int = 1,
+    start_scale: float = 1.0,
+    scale_gap: float = 0.3,
+) -> np.ndarray:
+    """u8 transfer format: (S, net_h, net_w, 3) padded canvases, NHWC.
+
+    4x smaller host->device payload than the f32 canvas; the device applies
+    x/256 - 0.5 inside the image region and zero outside (exact in f32, so
+    bit-identical to process_and_pad_image + normalize).
+    """
+    if cv2 is None:
+        raise RuntimeError("OpenCV unavailable")
+    out = np.zeros((num_scales, net_h, net_w, 3), np.uint8)
+    for i, (y0, y1, x0, x1) in enumerate(
+        region_boxes(net_w, net_h, num_scales, start_scale, scale_gap)
+    ):
+        resized = cv2.resize(img_bgr, (x1 - x0, y1 - y0), interpolation=cv2.INTER_AREA)
+        out[i, y0:y1, x0:x1] = resized
+    return out
+
+
 @dataclass
 class PreprocessedFrame:
     net_input: np.ndarray  # (S, 3, net_h, net_w)

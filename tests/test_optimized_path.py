@@ -1,0 +1,65 @@
+"""The optimized estimator pipeline (part-only upsample + low-res matmul PAF
+sampling) must agree with the generic graph path (full ImResize -> Nms ->
+full-res sampling)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from caffe_rtpose_tpu.ops.imresize import imresize_average
+from caffe_rtpose_tpu.pose import connect as C
+from caffe_rtpose_tpu.pose.descriptor import COCO_18
+from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+
+REF_COCO = "/root/reference/model/coco/pose_deploy_linevec.prototxt"
+
+
+@pytest.mark.parametrize("scales,start,gap", [(1, 1.0, 0.3), (2, 1.0, 0.3)])
+def test_score_pairs_lowres_matches_fullres(scales, start, gap):
+    rs = np.random.RandomState(0)
+    h, w, f = 12, 16, 8
+    th, tw = h * f, w * f
+    low = rs.rand(scales, h, w, 57).astype(np.float32) * 2 - 1
+    # full-res reference: upsample all channels then sample with gathers
+    full = imresize_average(jnp.asarray(low), th, tw, start, gap)  # (1, th, tw, 57)
+    hm_chw = jnp.transpose(full[0], (2, 0, 1))
+    peaks = np.zeros((18, 17, 3), np.float32)
+    for p in range(18):
+        n = rs.randint(1, 6)
+        peaks[p, 0, 0] = n
+        for i in range(1, n + 1):
+            peaks[p, i] = (rs.uniform(0, tw - 1), rs.uniform(0, th - 1), rs.rand())
+    thr = 0.05
+    s_full, c_full = C.score_pairs(hm_chw, jnp.asarray(peaks), COCO_18, jnp.float32(thr))
+    s_low, c_low = C.score_pairs_lowres(
+        jnp.asarray(low), jnp.asarray(peaks), COCO_18, (th, tw), start, gap, jnp.float32(thr)
+    )
+    np.testing.assert_allclose(np.asarray(s_low), np.asarray(s_full), rtol=2e-4, atol=2e-4)
+    # counts may differ only where a dot sits exactly at the threshold; with
+    # random data that has measure zero
+    np.testing.assert_array_equal(np.asarray(c_low), np.asarray(c_full))
+
+
+@pytest.mark.skipif(not os.path.exists(REF_COCO), reason="reference not mounted")
+def test_optimized_estimator_matches_generic():
+    est_opt = PoseEstimator(REF_COCO, net_resolution=(128, 80), seed=7, keep_heatmap=False)
+    est_gen = PoseEstimator(REF_COCO, net_resolution=(128, 80), seed=7, keep_heatmap=True)
+    assert est_opt._packed and not est_gen._packed
+    rs = np.random.RandomState(1)
+    x = rs.rand(1, 3, 80, 128).astype(np.float32) - 0.5
+    # low thresholds so random-weight maps yield peaks
+    o1 = est_opt.run_device(x, nms_threshold=-1.0, inter_threshold=-10.0)
+    o2 = est_gen.run_device(x, nms_threshold=-1.0, inter_threshold=-10.0)
+    p1, s1, c1 = est_opt.fetch(o1)
+    p2, s2, c2 = est_gen.fetch(o2)
+    np.testing.assert_allclose(p1, p2, rtol=1e-3, atol=1e-3)
+    assert p1[:, 0, 0].sum() > 0
+    for k in range(19):
+        a, b = COCO_18.limb(k)
+        na, nb = int(p2[a, 0, 0]), int(p2[b, 0, 0])
+        np.testing.assert_allclose(s1[k, :na, :nb], s2[k, :na, :nb], rtol=5e-3, atol=5e-3)
+        np.testing.assert_array_equal(c1[k, :na, :nb], c2[k, :na, :nb])

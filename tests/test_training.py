@@ -1,0 +1,214 @@
+"""Solver tests: each update rule vs a closed-form/numpy reference on a tiny
+least-squares problem (the reference test_gradient_based_solver.cpp pattern),
+lr policies, snapshot/restore round-trip, and the data-parallel dry run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from caffe_rtpose_tpu.core.net import Net
+from caffe_rtpose_tpu.parallel.dp import dryrun_data_parallel, make_mesh
+from caffe_rtpose_tpu.proto import caffe_pb, prototxt
+from caffe_rtpose_tpu.training.solver import (
+    Solver,
+    init_history,
+    learning_rate,
+    make_update_fn,
+)
+
+LSQ_NET = """
+name: "lsq"
+input: "x" input_dim: 4 input_dim: 3
+input: "y" input_dim: 4 input_dim: 1
+layer { name: "fc" type: "InnerProduct" bottom: "x" top: "pred"
+  inner_product_param { num_output: 1 weight_filler { type: "gaussian" std: 1.0 } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "pred" bottom: "y" top: "loss" }
+"""
+
+
+def _solver_param(text):
+    return caffe_pb.view(prototxt.parse(text, "SolverParameter"), "SolverParameter")
+
+
+def test_lr_policies():
+    sp = _solver_param("base_lr: 1.0 lr_policy: 'step' gamma: 0.5 stepsize: 10 max_iter: 100 power: 2")
+    assert learning_rate(sp, 0) == 1.0
+    assert learning_rate(sp, 10) == 0.5
+    assert learning_rate(sp, 25) == 0.25
+    sp = _solver_param("base_lr: 1.0 lr_policy: 'inv' gamma: 0.1 power: 0.75")
+    assert learning_rate(sp, 0) == 1.0
+    assert learning_rate(sp, 10) == pytest.approx((1 + 0.1 * 10) ** -0.75)
+    sp = _solver_param("base_lr: 1.0 lr_policy: 'poly' power: 2 max_iter: 100")
+    assert learning_rate(sp, 50) == pytest.approx(0.25)
+    sp = _solver_param("base_lr: 2.0 lr_policy: 'multistep' gamma: 0.1 stepvalue: 5 stepvalue: 9")
+    assert learning_rate(sp, 4) == 2.0
+    assert learning_rate(sp, 5) == pytest.approx(0.2)
+    assert learning_rate(sp, 9) == pytest.approx(0.02)
+
+
+def _one_update(solver_type, extra=""):
+    """Run one update on a single scalar-ish param and return new param/history."""
+    sp = _solver_param(
+        f"base_lr: 0.1 lr_policy: 'fixed' momentum: 0.9 momentum2: 0.999 "
+        f"delta: 1e-8 rms_decay: 0.95 weight_decay: 0.0 {extra}"
+    )
+    params = {"w": [jnp.asarray([1.0, -2.0])]}
+    grads = {"w": [jnp.asarray([0.5, 0.25])]}
+    lr_mults = {"w": [1.0]}
+    decay_mults = {"w": [1.0]}
+    upd = make_update_fn(solver_type, sp, lr_mults, decay_mults)
+    hist = init_history(solver_type, params)
+    p1, h1 = upd(params, grads, hist, jnp.float32(0.1), 0)
+    p2, h2 = upd(p1, grads, h1, jnp.float32(0.1), 1)
+    return (
+        np.asarray(params["w"][0]),
+        np.asarray(grads["w"][0]),
+        np.asarray(p1["w"][0]),
+        np.asarray(p2["w"][0]),
+        h2,
+    )
+
+
+def test_sgd_momentum_exact():
+    w0, g, w1, w2, _ = _one_update("SGD")
+    v1 = 0.1 * g
+    v2 = 0.9 * v1 + 0.1 * g
+    np.testing.assert_allclose(w1, w0 - v1, rtol=1e-6)
+    np.testing.assert_allclose(w2, w0 - v1 - v2, rtol=1e-6)
+
+
+def test_nesterov_exact():
+    w0, g, w1, w2, _ = _one_update("Nesterov")
+    v1 = 0.1 * g
+    step1 = 1.9 * v1
+    v2 = 0.9 * v1 + 0.1 * g
+    step2 = 1.9 * v2 - 0.9 * v1
+    np.testing.assert_allclose(w1, w0 - step1, rtol=1e-6)
+    np.testing.assert_allclose(w2, w0 - step1 - step2, rtol=1e-6)
+
+
+def test_adagrad_exact():
+    w0, g, w1, w2, _ = _one_update("AdaGrad")
+    h1 = g * g
+    s1 = 0.1 * g / (np.sqrt(h1) + 1e-8)
+    h2 = h1 + g * g
+    s2 = 0.1 * g / (np.sqrt(h2) + 1e-8)
+    np.testing.assert_allclose(w1, w0 - s1, rtol=1e-5)
+    np.testing.assert_allclose(w2, w0 - s1 - s2, rtol=1e-5)
+
+
+def test_rmsprop_exact():
+    w0, g, w1, w2, _ = _one_update("RMSProp")
+    h1 = 0.05 * g * g
+    s1 = 0.1 * g / (np.sqrt(h1) + 1e-8)
+    h2 = 0.95 * h1 + 0.05 * g * g
+    s2 = 0.1 * g / (np.sqrt(h2) + 1e-8)
+    np.testing.assert_allclose(w1, w0 - s1, rtol=1e-5)
+    np.testing.assert_allclose(w2, w0 - s1 - s2, rtol=1e-5)
+
+
+def test_adam_exact():
+    w0, g, w1, w2, _ = _one_update("Adam")
+    b1, b2, eps, lr = 0.9, 0.999, 1e-8, 0.1
+    m = v = 0.0
+    w = w0.copy()
+    for t in (1, 2):
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        corr = np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        w = w - lr * corr * m / (np.sqrt(v) + eps)
+        if t == 1:
+            np.testing.assert_allclose(w1, w, rtol=1e-5)
+    np.testing.assert_allclose(w2, w, rtol=1e-5)
+
+
+def test_weight_decay_l2():
+    sp = _solver_param("base_lr: 0.1 lr_policy: 'fixed' momentum: 0.0 weight_decay: 0.5")
+    params = {"w": [jnp.asarray([2.0])]}
+    grads = {"w": [jnp.asarray([0.0])]}
+    upd = make_update_fn("SGD", sp, {"w": [1.0]}, {"w": [1.0]})
+    p1, _ = upd(params, grads, init_history("SGD", params), jnp.float32(0.1), 0)
+    # g_eff = 0 + 0.5*2 = 1; step = 0.1
+    np.testing.assert_allclose(np.asarray(p1["w"][0]), [1.9], rtol=1e-6)
+
+
+def test_solver_converges_least_squares():
+    rs = np.random.RandomState(0)
+    A = rs.randn(32, 3).astype(np.float32)
+    w_true = np.array([[1.5, -2.0, 0.5]], np.float32)
+    b_true = np.array([0.3], np.float32)
+    Y = A @ w_true.T + b_true
+
+    net = Net(LSQ_NET, phase="TRAIN", input_shapes={"x": (32, 3), "y": (32, 1)}, seed=1)
+
+    def next_batch(it):
+        return {"x": A, "y": Y}
+
+    solver = Solver("base_lr: 0.05 lr_policy: 'fixed' momentum: 0.9 max_iter: 200 average_loss: 5",
+                    net, next_batch)
+    loss = solver.step(200)
+    assert loss < 1e-3
+    w = np.asarray(net.params["fc"][0])  # internal (K, N)
+    np.testing.assert_allclose(w[:, 0], w_true[0], atol=0.05)
+
+
+def test_snapshot_restore_roundtrip(tmp_path):
+    rs = np.random.RandomState(2)
+    A = rs.randn(8, 3).astype(np.float32)
+    Y = rs.randn(8, 1).astype(np.float32)
+    net = Net(LSQ_NET, phase="TRAIN", input_shapes={"x": (8, 3), "y": (8, 1)}, seed=3)
+    solver = Solver("base_lr: 0.01 lr_policy: 'fixed' momentum: 0.9", net,
+                    lambda it: {"x": A, "y": Y})
+    solver.step(5)
+    model_path, state_path = solver.snapshot(str(tmp_path / "snap"))
+
+    net2 = Net(LSQ_NET, phase="TRAIN", input_shapes={"x": (8, 3), "y": (8, 1)}, seed=99)
+    solver2 = Solver("base_lr: 0.01 lr_policy: 'fixed' momentum: 0.9", net2,
+                     lambda it: {"x": A, "y": Y})
+    solver2.restore(state_path)
+    assert solver2.it == 5
+    # identical continued trajectories
+    l1 = solver.step(3)
+    l2 = solver2.step(3)
+    assert l1 == pytest.approx(l2, rel=1e-4)
+    w1 = np.asarray(net.params["fc"][0])
+    w2 = np.asarray(net2.params["fc"][0])
+    np.testing.assert_allclose(w1, w2, rtol=1e-5)
+
+
+def test_dp_matches_single_device():
+    """Data-parallel on 8 virtual devices == single-device on same batch
+    (the reference asserts P2PSync equals 1-GPU results,
+    test_gradient_based_solver.cpp:196-209)."""
+    rs = np.random.RandomState(4)
+    A = rs.randn(16, 3).astype(np.float32)
+    Y = rs.randn(16, 1).astype(np.float32)
+
+    def run(shard: bool):
+        net = Net(LSQ_NET, phase="TRAIN", input_shapes={"x": (16, 3), "y": (16, 1)}, seed=5)
+        solver = Solver("base_lr: 0.02 lr_policy: 'fixed' momentum: 0.9", net,
+                        lambda it: {"x": A, "y": Y})
+        if shard:
+            from caffe_rtpose_tpu.parallel.dp import make_dp_train_step, replicate, shard_batch
+            mesh = make_mesh(8)
+            loss_fn = net.make_loss_fn()
+            step = make_dp_train_step(mesh, loss_fn, solver._update.__wrapped__)
+            params = replicate(mesh, net.params)
+            history = replicate(mesh, solver.history)
+            inputs = shard_batch(mesh, {"x": A, "y": Y})
+            with mesh:
+                for it in range(5):
+                    loss, params, history = step(
+                        params, history, inputs, jax.random.PRNGKey(it), jnp.float32(0.02), it
+                    )
+            return np.asarray(jax.device_get(params["fc"][0]))
+        solver.step(5)
+        return np.asarray(net.params["fc"][0])
+
+    np.testing.assert_allclose(run(False), run(True), rtol=1e-4, atol=1e-5)
+
+
+def test_dryrun_multichip():
+    dryrun_data_parallel(8)
