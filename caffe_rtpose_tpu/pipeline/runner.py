@@ -1,0 +1,341 @@
+"""The realtime pipeline: frame sources -> preprocess -> TPU dispatch ->
+fetch/assemble pool -> reorder -> display/JSON/frame outputs.
+
+Thread architecture mirrors rtcpm() (reference rtpose.cpp:1459-1549):
+
+  producer ──input_q──> dispatcher ──inflight_q──> fetcher pool
+      ──output_q──> reorder (OrderedBuffer) ──ordered_q──> writer/display
+
+with the reference's drop policy (queue latency > 0.1 s unless
+no_frame_drops, rtpose.cpp:1112-1124), per-30-frame FPS/latency reporting
+(rtpose.cpp:1421-1441), and byte-identical JSON output (rtpose.cpp:1383-1416).
+
+The dispatcher replaces the reference's per-GPU worker threads: because the
+whole per-frame device program is one async XLA call, a single dispatch
+thread keeps the chip fed, and the fetcher pool overlaps result transfers —
+the multi-device analog round-robins dispatch across a device list.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..pose import connect as C
+from ..pose.estimator import PoseEstimator
+from ..pose.preprocess import make_net_input_u8, warp_to_display
+from .queues import BlockingQueue, OrderedBuffer
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+@dataclass
+class Frame:
+    """Per-frame payload (reference include/caffe/cpm/frame.h)."""
+
+    index: int
+    video_frame_number: int
+    scale: float
+    ori_width: int
+    ori_height: int
+    display: Optional[np.ndarray] = None  # (H, W, 3) u8 BGR
+    net_input: Optional[np.ndarray] = None  # (S, net_h, net_w, 3) u8
+    joints: Optional[np.ndarray] = None  # (people, parts, 3) display coords
+    num_people: int = 0
+    # pipeline timestamps (frame.h:10-17)
+    commit_time: float = 0.0
+    preprocessed_time: float = 0.0
+    gpu_fetched_time: float = 0.0
+    postprocessed_time: float = 0.0
+    buffered_time: float = 0.0
+    displayed_time: float = 0.0
+    source_path: Optional[str] = None
+
+
+@dataclass
+class PipelineConfig:
+    """Flags mirroring rtpose.cpp:50-72."""
+
+    video: str = ""
+    camera: int = 0
+    image_dir: str = ""
+    resolution: Tuple[int, int] = (1280, 720)  # display W, H
+    net_resolution: Tuple[int, int] = (656, 368)
+    camera_resolution: Tuple[int, int] = (1280, 720)
+    start_frame: int = 0
+    num_devices: int = 1
+    start_scale: float = 1.0
+    scale_gap: float = 0.3
+    num_scales: int = 1
+    no_frame_drops: bool = False
+    write_frames: str = ""
+    write_json: str = ""
+    no_display: bool = True
+    part_to_show: int = 0
+    fullscreen: bool = False
+    no_text: bool = False
+    frame_limit: Optional[int] = None  # extension: bound processed frames
+    fetchers: int = 4
+    queue_depth: int = 8
+
+
+def list_image_dir(path: str) -> List[str]:
+    """Sorted jpg/png/bmp listing (readImageDirIfFlagEnabled, rtpose.cpp:1737)."""
+    files = [
+        f for f in glob.glob(os.path.join(path, "*"))
+        if os.path.splitext(f)[1].lower() in (".jpg", ".png", ".bmp")
+    ]
+    return sorted(files)
+
+
+def frame_source(cfg: PipelineConfig) -> Iterator[Tuple[int, np.ndarray, Optional[str]]]:
+    """Yields (video_frame_number, bgr_frame, source_path)."""
+    if cfg.image_dir:
+        for i, p in enumerate(list_image_dir(cfg.image_dir)):
+            img = cv2.imread(p, cv2.IMREAD_COLOR)
+            if img is None:
+                continue
+            yield i, img, p
+        return
+    cap = cv2.VideoCapture(cfg.video if cfg.video else cfg.camera)
+    if not cap.isOpened():
+        raise RuntimeError(f"Couldn't open {'video ' + cfg.video if cfg.video else 'camera %d' % cfg.camera}")
+    if not cfg.video:
+        cap.set(cv2.CAP_PROP_FRAME_WIDTH, cfg.camera_resolution[0])
+        cap.set(cv2.CAP_PROP_FRAME_HEIGHT, cfg.camera_resolution[1])
+    elif cfg.start_frame:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, cfg.start_frame)
+    idx = cfg.start_frame
+    while True:
+        ok, img = cap.read()
+        if not ok:
+            break
+        yield idx, img, None
+        idx += 1
+    cap.release()
+
+
+def write_json_file(path: str, joints: np.ndarray, num_people: int, scale: float, num_parts: int) -> None:
+    """Byte-layout-identical JSON writer (displayFrame, rtpose.cpp:1383-1416):
+    x,y are rescaled to original coords by 1/frame.scale."""
+
+    def fmt(v: float) -> str:
+        # C++ default ostream float formatting: 6 significant digits
+        return f"{v:g}"
+
+    inv = 1.0 / scale
+    with open(path, "w") as fs:
+        fs.write("{\n")
+        fs.write('"version":0.1,\n')
+        fs.write('"bodies":[\n')
+        for ip in range(num_people):
+            fs.write('{\n"joints":[')
+            vals = []
+            for ij in range(num_parts):
+                vals.append(fmt(inv * joints[ip, ij, 0]))
+                vals.append(fmt(inv * joints[ip, ij, 1]))
+                vals.append(fmt(joints[ip, ij, 2]))
+            fs.write(",".join(vals))
+            fs.write("]\n}")
+            fs.write(",\n" if ip < num_people - 1 else "")
+        fs.write("]\n}\n")
+
+
+class RtPosePipeline:
+    """End-to-end realtime runner over one or more TPU devices."""
+
+    def __init__(self, estimator: PoseEstimator, cfg: PipelineConfig):
+        if cv2 is None:
+            raise RuntimeError("OpenCV required for the pipeline")
+        self.est = estimator
+        self.cfg = cfg
+        self.quit = threading.Event()
+        self.stats: List[Dict[str, float]] = []
+        self.processed = 0
+        self._renderer = None
+        for d in (cfg.write_frames, cfg.write_json):
+            if d and not os.path.isdir(d):
+                os.makedirs(d, exist_ok=True)
+
+    # ------------------------------------------------------------ threads
+
+    def _producer(self, input_q: BlockingQueue):
+        cfg = self.cfg
+        dw, dh = cfg.resolution
+        count = 0
+        for vfn, img, path in frame_source(cfg):
+            if self.quit.is_set():
+                break
+            if cfg.frame_limit is not None and count >= cfg.frame_limit:
+                break
+            display, scale = warp_to_display(img, dw, dh)
+            net_in = make_net_input_u8(
+                display, cfg.net_resolution[0], cfg.net_resolution[1],
+                cfg.num_scales, cfg.start_scale, cfg.scale_gap,
+            )
+            count += 1
+            f = Frame(
+                index=count, video_frame_number=vfn, scale=scale,
+                ori_width=img.shape[1], ori_height=img.shape[0],
+                display=display, net_input=net_in, source_path=path,
+            )
+            f.commit_time = f.preprocessed_time = time.time()
+            input_q.put(f)
+        input_q.put(None)
+
+    def _dispatcher(self, input_q: BlockingQueue, inflight_q: BlockingQueue, reorder: OrderedBuffer):
+        cfg = self.cfg
+        while True:
+            f = input_q.get()
+            if f is None:
+                for _ in range(cfg.fetchers):
+                    inflight_q.put(None)
+                return
+            # drop policy (rtpose.cpp:1112-1124)
+            if not cfg.no_frame_drops and time.time() - f.commit_time > 0.1:
+                reorder.push_dropped(f.index)
+                continue
+            out = self.est.run_device(f.net_input)
+            inflight_q.put((f, out))
+
+    def _fetcher(self, inflight_q: BlockingQueue, output_q: BlockingQueue):
+        est = self.est
+        pc = est.params_connect
+        dw, dh = self.cfg.resolution
+        scale_xy = (dw / float(est.net_w), dh / float(est.net_h))
+        while True:
+            item = inflight_q.get()
+            if item is None:
+                output_q.put(None)
+                return
+            f, out = item
+            peaks, ps, cnt = est.fetch(out)
+            res = C.assemble(peaks, ps, cnt, est.descriptor, pc, scale_xy)
+            f.joints = res.joints
+            f.num_people = res.num_people
+            f.gpu_fetched_time = f.postprocessed_time = time.time()
+            output_q.put(f)
+
+    def _writer(self, output_q: BlockingQueue, reorder: OrderedBuffer):
+        cfg = self.cfg
+        ended = 0
+        while ended < cfg.fetchers:
+            f = output_q.get()
+            if f is None:
+                ended += 1
+                continue
+            for ready in reorder.push(f.index, f):
+                self._emit(ready)
+        for ready in reorder.flush():
+            self._emit(ready)
+
+    def _emit(self, f: Frame):
+        cfg = self.cfg
+        f.buffered_time = time.time()
+        canvas = f.display
+        if cfg.write_frames or not cfg.no_display:
+            canvas = self._render(f)
+        if cfg.write_frames:
+            name = (
+                f"frame{f.video_frame_number:06d}.jpg"
+                if not cfg.image_dir or f.source_path is None
+                else os.path.splitext(os.path.basename(f.source_path))[0] + ".jpg"
+            )
+            cv2.imwrite(os.path.join(cfg.write_frames, name),
+                        canvas, [int(cv2.IMWRITE_JPEG_QUALITY), 98])
+        if cfg.write_json:
+            name = (
+                f"frame{f.video_frame_number:06d}.json"
+                if not cfg.image_dir or f.source_path is None
+                else os.path.splitext(os.path.basename(f.source_path))[0] + ".json"
+            )
+            write_json_file(os.path.join(cfg.write_json, name), f.joints,
+                            f.num_people, f.scale, self.est.num_parts)
+        if not cfg.no_display:
+            cv2.imshow("caffe_rtpose_tpu", canvas)
+            cv2.waitKey(1)
+        f.displayed_time = time.time()
+        self.processed += 1
+        self.stats.append({
+            "preprocess": f.preprocessed_time - f.commit_time,
+            "gpu_and_assemble": f.gpu_fetched_time - f.preprocessed_time,
+            "buffered": f.buffered_time - f.postprocessed_time,
+            "output": f.displayed_time - f.buffered_time,
+        })
+        if self.processed % 30 == 0:
+            self._report()
+
+    def _render(self, f: Frame) -> np.ndarray:
+        """Skeleton overlay onto the display frame (device render)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..pose.descriptor import RENDER_MAX_PEOPLE
+        from ..pose.render import render_pose
+
+        if self._renderer is None:
+            self._renderer = jax.jit(
+                lambda canv, poses, n: render_pose(
+                    canv, poses, n, num_parts=self.est.num_parts
+                )
+            )
+        maxp = RENDER_MAX_PEOPLE
+        poses = np.zeros((maxp, self.est.num_parts, 3), np.float32)
+        n = min(f.num_people, maxp)
+        if n:
+            poses[:n] = f.joints[:n]
+        canvas = jnp.asarray(f.display.astype(np.float32))
+        out = self._renderer(canvas, jnp.asarray(poses), n)
+        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+
+    def _report(self):
+        window = self.stats[-30:]
+        avg = {k: float(np.mean([s[k] for s in window])) for k in window[0]}
+        total = sum(avg.values())
+        fps = 30.0 / max(sum(s["gpu_and_assemble"] for s in window), 1e-9)
+        print(
+            f"Frames processed {self.processed} | "
+            + " | ".join(f"{k} {v*1000:.1f}ms" for k, v in avg.items())
+            + f" | total {total*1000:.1f}ms"
+        )
+
+    # --------------------------------------------------------------- run
+
+    def run(self) -> int:
+        cfg = self.cfg
+        input_q = BlockingQueue(maxsize=10)  # backpressure (rtpose.cpp:424-430)
+        inflight_q = BlockingQueue(maxsize=cfg.queue_depth)
+        output_q = BlockingQueue()
+        reorder = OrderedBuffer()
+
+        threads = [
+            threading.Thread(target=self._producer, args=(input_q,), name="producer"),
+            threading.Thread(target=self._dispatcher, args=(input_q, inflight_q, reorder), name="dispatch"),
+        ]
+        threads += [
+            threading.Thread(target=self._fetcher, args=(inflight_q, output_q), name=f"fetch{i}")
+            for i in range(cfg.fetchers)
+        ]
+        writer = threading.Thread(target=self._writer, args=(output_q, reorder), name="writer")
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        writer.start()
+        for t in threads:
+            t.join()
+        writer.join()
+        dt = time.time() - t0
+        if self.processed:
+            print(f"Processed {self.processed} frames in {dt:.2f}s ({self.processed/dt:.2f} FPS)")
+        return self.processed

@@ -1,0 +1,126 @@
+"""Pipeline tests: reorder buffer semantics, JSON output schema, renderer
+sanity, and an end-to-end image-dir run through the CLI path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from caffe_rtpose_tpu.pipeline.queues import OrderedBuffer
+from caffe_rtpose_tpu.pipeline.runner import write_json_file
+
+cv2 = pytest.importorskip("cv2")
+
+REF_COCO = "/root/reference/model/coco/pose_deploy_linevec.prototxt"
+
+
+def test_ordered_buffer_inorder():
+    ob = OrderedBuffer()
+    assert ob.push(1, "a") == ["a"]
+    assert ob.push(2, "b") == ["b"]
+    assert ob.push(4, "d") == []
+    assert ob.push(3, "c") == ["c", "d"]
+
+
+def test_ordered_buffer_dropped():
+    ob = OrderedBuffer()
+    ob.push_dropped(1)
+    assert ob.push(2, "b") == ["b"]
+    ob.push_dropped(3)
+    ob.push_dropped(4)
+    assert ob.push(5, "e") == ["e"]
+
+
+def test_ordered_buffer_overflow_flush():
+    ob = OrderedBuffer(buffer_size=2)
+    assert ob.push(3, "c") == []
+    assert ob.push(4, "d") == []
+    # third out-of-order frame overflows: emit smallest and resync
+    out = ob.push(5, "e")
+    assert out == ["c", "d", "e"]
+
+
+def test_json_schema(tmp_path):
+    joints = np.array([[[10.0, 20.0, 0.5], [30.0, 40.0, 0.25]]], np.float32)
+    p = str(tmp_path / "f.json")
+    write_json_file(p, joints, 1, scale=0.5, num_parts=2)
+    raw = open(p).read()
+    # schema-identical to rtpose.cpp:1396-1414
+    assert raw.startswith('{\n"version":0.1,\n"bodies":[\n')
+    data = json.loads(raw)
+    assert data["version"] == 0.1
+    body = data["bodies"][0]
+    # 1/scale rescale to original coords
+    assert body["joints"] == [20, 40, 0.5, 60, 80, 0.25]
+
+
+def test_render_pose_draws():
+    import jax.numpy as jnp
+
+    from caffe_rtpose_tpu.pose.render import render_pose
+
+    canvas = jnp.zeros((120, 160, 3), jnp.float32)
+    poses = np.zeros((4, 18, 3), np.float32)
+    # simple figure
+    pts = {0: (80, 20), 1: (80, 40), 2: (60, 40), 3: (55, 60), 5: (100, 40),
+           8: (70, 70), 11: (90, 70)}
+    for k, (x, y) in pts.items():
+        poses[0, k] = (x, y, 0.9)
+    out = np.asarray(render_pose(canvas, jnp.asarray(poses), 1))
+    assert out.sum() > 0
+    # a neck-ish pixel got limb color
+    assert out[40, 70].sum() > 0
+    # untouched corner stays black
+    assert out[0, 0].sum() == 0
+    # zero people -> untouched
+    out0 = np.asarray(render_pose(canvas, jnp.asarray(poses), 0))
+    assert out0.sum() == 0
+
+
+def test_render_heatmap_and_paf():
+    import jax.numpy as jnp
+
+    from caffe_rtpose_tpu.pose.render import render_all_parts, render_heatmap, render_paf
+
+    canvas = jnp.zeros((64, 80, 3), jnp.float32)
+    maps = np.zeros((57, 16, 20), np.float32)
+    maps[3, 8, 10] = 1.0
+    maps[19, :, :] = 0.7  # PAF x
+    maps[20, :, :] = -0.7  # PAF y
+    hm = np.asarray(render_heatmap(canvas, jnp.asarray(maps), 3))
+    assert hm.shape == (64, 80, 3)
+    assert hm.max() > 100  # jet colormap hit
+    ap = np.asarray(render_all_parts(canvas, jnp.asarray(maps), 18))
+    assert ap.max() > 0
+    paf = np.asarray(render_paf(canvas, jnp.asarray(maps), 19, 1))
+    assert paf.max() > 0
+
+
+@pytest.mark.skipif(not os.path.exists(REF_COCO), reason="reference not mounted")
+def test_pipeline_end_to_end_imagedir(tmp_path):
+    import jax.numpy as jnp
+
+    from caffe_rtpose_tpu.pipeline.runner import PipelineConfig, RtPosePipeline
+    from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"), (rs.rand(90, 120, 3) * 255).astype(np.uint8))
+
+    out_json = tmp_path / "json"
+    est = PoseEstimator(REF_COCO, net_resolution=(128, 80), seed=1, input_u8=True)
+    cfg = PipelineConfig(
+        image_dir=str(img_dir), resolution=(256, 160), net_resolution=(128, 80),
+        write_json=str(out_json), no_display=True, no_frame_drops=True,
+        fetchers=2, queue_depth=4,
+    )
+    pipe = RtPosePipeline(est, cfg)
+    n = pipe.run()
+    assert n == 3
+    files = sorted(os.listdir(out_json))
+    assert files == ["im0.json", "im1.json", "im2.json"]
+    data = json.loads(open(out_json / "im0.json").read())
+    assert "bodies" in data and data["version"] == 0.1
