@@ -54,7 +54,7 @@ def main():
 
     def finish(out):
         peaks, ps, count = est.fetch(out)
-        return C.assemble(peaks, ps, count, est.descriptor, pc, scale_xy=scale_xy)
+        return C.assemble_fast(peaks, ps, count, est.descriptor, pc, scale_xy=scale_xy)
 
     for i in range(3):  # warmup / compile
         finish(dispatch(frames[i % len(frames)]))

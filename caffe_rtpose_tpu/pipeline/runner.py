@@ -221,7 +221,7 @@ class RtPosePipeline:
                 return
             f, out = item
             peaks, ps, cnt = est.fetch(out)
-            res = C.assemble(peaks, ps, cnt, est.descriptor, pc, scale_xy)
+            res = C.assemble_fast(peaks, ps, cnt, est.descriptor, pc, scale_xy)
             f.joints = res.joints
             f.num_people = res.num_people
             f.gpu_fetched_time = f.postprocessed_time = time.time()

@@ -380,6 +380,28 @@ def assemble(
     return AssembleResult(joints=joints_arr, num_people=len(people), subsets=subsets)
 
 
+def assemble_fast(
+    peaks: np.ndarray,
+    pair_score: np.ndarray,
+    pair_count: np.ndarray,
+    desc: ModelDescriptor,
+    params: ConnectParams,
+    scale_xy: Tuple[float, float] = (1.0, 1.0),
+    max_people: int = RENDER_MAX_PEOPLE,
+) -> AssembleResult:
+    """Greedy assembly via the native C++ runtime when available (see
+    native/pose_host.cpp), else the pure-Python path."""
+    from .. import native
+
+    nat = native.assemble_native(peaks, pair_score, pair_count, desc, params,
+                                 scale_xy, max_people)
+    if nat is not None:
+        joints, n = nat
+        return AssembleResult(joints=joints, num_people=n, subsets=[])
+    return assemble(peaks, pair_score, pair_count, desc, params, scale_xy,
+                    max_people=max_people)
+
+
 def connect_limbs(
     heatmap: np.ndarray,
     peaks: np.ndarray,

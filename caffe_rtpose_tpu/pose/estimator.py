@@ -235,7 +235,7 @@ class PoseEstimator:
         pc = params_connect or self.params_connect
         out = self.run_device(net_input, nms_threshold=nms_threshold, inter_threshold=pc.inter_threshold)
         peaks, pair_score, pair_count = self.fetch(out)
-        res = C.assemble(peaks, pair_score, pair_count, self.descriptor, pc, scale_xy)
+        res = C.assemble_fast(peaks, pair_score, pair_count, self.descriptor, pc, scale_xy)
         hm = np.asarray(jax.device_get(out["heatmap"])) if self.keep_heatmap else None
         return PoseResult(joints=res.joints, num_people=res.num_people, peaks=peaks, heatmap=hm)
 

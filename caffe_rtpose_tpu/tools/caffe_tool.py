@@ -1,0 +1,195 @@
+"""caffe CLI equivalent: train / test / time / device_query brew commands
+(reference tools/caffe.cpp:180-422).
+
+    python -m caffe_rtpose_tpu.tools.caffe_tool train --solver solver.prototxt \
+        --data batches.h5 [--snapshot snap_iter_100.solverstate | --weights w.caffemodel]
+    python -m caffe_rtpose_tpu.tools.caffe_tool test --model net.prototxt \
+        --weights w.caffemodel --data batches.h5 --iterations 50
+    python -m caffe_rtpose_tpu.tools.caffe_tool time --model net.prototxt --iterations 10
+    python -m caffe_rtpose_tpu.tools.caffe_tool device_query
+
+Data sources (replacing in-graph LMDB data layers): ``--data`` accepts an
+.h5/.npz file whose keys match the net's input blob names, or
+``synthetic-pose`` for the CPM transformer stream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Dict, Iterator
+
+import numpy as np
+
+
+def make_data_iter(spec: str, net, batch_hint: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    if spec == "synthetic-pose":
+        from ..training.datasets import SyntheticPoseSource, pose_batches, prefetch_loader
+        from ..training.transformer import AugParams
+
+        batch = net.blob_infos[net.input_names[0]].shape_caffe[0]
+        return prefetch_loader(pose_batches(SyntheticPoseSource(), AugParams(), batch))
+    if spec.endswith(".npz"):
+        arrs = dict(np.load(spec))
+
+        def it():
+            while True:
+                yield {k: arrs[k] for k in net.input_names}
+
+        return it()
+    if spec.endswith((".h5", ".hdf5")):
+        import h5py
+
+        f = h5py.File(spec, "r")
+        n = f[net.input_names[0]].shape[0]
+        batch = net.blob_infos[net.input_names[0]].shape_caffe[0]
+
+        def it():
+            i = 0
+            while True:
+                idx = [(i + j) % n for j in range(batch)]
+                yield {k: np.asarray(f[k][sorted(set(idx))])[: len(idx)] for k in net.input_names}
+                i = (i + batch) % n
+
+        return it()
+    raise ValueError(f"unsupported data source {spec!r}")
+
+
+def cmd_train(args) -> int:
+    from ..core.net import Net
+    from ..proto import caffe_pb, prototxt
+    from ..training.solver import Solver
+    from ..utils.signals import SignalHandler, SolverAction, parse_action
+
+    sp_msg = prototxt.parse_file(args.solver, "SolverParameter")
+    sp = caffe_pb.view(sp_msg, "SolverParameter")
+    net_path = sp.net if sp.has("net") else sp.train_net
+    if sp.has("net_param") or sp.has("train_net_param"):
+        net_param = sp_msg.get("net_param") or sp_msg.get("train_net_param")
+    else:
+        net_param = net_path
+    net = Net(net_param, phase="TRAIN", seed=int(sp.random_seed) if sp.random_seed > 0 else 0)
+
+    data_iter = make_data_iter(args.data, net)
+    solver = Solver(sp_msg, net, lambda it: next(data_iter))
+    if args.snapshot:
+        solver.restore(args.snapshot)
+        print(f"Restored from {args.snapshot} at iter {solver.it}")
+    elif args.weights:
+        n = net.load_weights(args.weights)
+        print(f"Finetuning from {args.weights} ({n} layers copied)")
+
+    handler = SignalHandler(parse_action(args.sigint_effect), parse_action(args.sighup_effect))
+    max_iter = int(sp.max_iter) if sp.has("max_iter") else args.iterations
+    display = int(sp.display) if sp.has("display") else 20
+    try:
+        while solver.it < max_iter:
+            loss = solver.step(1)
+            if display and solver.it % display == 0:
+                print(f"Iteration {solver.it}, loss = {loss:.6f} "
+                      f"(smoothed {solver.smoothed_loss:.6f})")
+            action = handler.check_for_action()
+            if action == SolverAction.SNAPSHOT:
+                paths = solver.snapshot(args.snapshot_prefix or sp.snapshot_prefix or "snapshot")
+                print(f"Snapshotted to {paths[0]}")
+            elif action == SolverAction.STOP:
+                print("Optimization stopped early.")
+                break
+    finally:
+        handler.restore()
+    if sp.snapshot_after_train and (sp.snapshot_prefix or args.snapshot_prefix):
+        solver.snapshot(args.snapshot_prefix or sp.snapshot_prefix)
+    print(f"Optimization Done. Final loss {solver.smoothed_loss:.6f}")
+    return 0
+
+
+def cmd_test(args) -> int:
+    from ..core.net import Net
+
+    net = Net(args.model, phase="TEST")
+    if args.weights:
+        net.load_weights(args.weights)
+    data_iter = make_data_iter(args.data, net)
+    totals: Dict[str, float] = {}
+    for i in range(args.iterations):
+        batch = next(data_iter)
+        out = net.forward(batch)
+        for k, v in out.items():
+            totals[k] = totals.get(k, 0.0) + float(np.mean(v))
+    for k, v in totals.items():
+        print(f"{k} = {v / args.iterations:.6f}")
+    return 0
+
+
+def cmd_time(args) -> int:
+    from ..core.net import Net
+    from ..utils.profiler import print_timing, time_net
+
+    net = Net(args.model, phase="TRAIN" if args.phase == "TRAIN" else "TEST")
+    rs = np.random.RandomState(0)
+    inputs = {
+        name: rs.rand(*net.blob_infos[name].shape_caffe).astype(np.float32)
+        for name in net.input_names
+    }
+    results = time_net(net, inputs, iterations=args.iterations,
+                       backward=args.phase == "TRAIN")
+    print_timing(results)
+    return 0
+
+
+def cmd_device_query(args) -> int:
+    import jax
+
+    for d in jax.devices():
+        print(f"Device id: {d.id}")
+        print(f"  platform: {d.platform}")
+        print(f"  device_kind: {d.device_kind}")
+        try:
+            stats = d.memory_stats() or {}
+            if "bytes_limit" in stats:
+                print(f"  memory: {stats.get('bytes_in_use', 0)}/{stats['bytes_limit']} bytes")
+        except Exception:
+            pass
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="caffe", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--solver", required=True)
+    t.add_argument("--data", default="synthetic-pose")
+    t.add_argument("--snapshot", default="", help="resume from .solverstate")
+    t.add_argument("--weights", default="", help="finetune from .caffemodel")
+    t.add_argument("--snapshot_prefix", default="")
+    t.add_argument("--iterations", type=int, default=50)
+    t.add_argument("--sigint_effect", default="stop", choices=["stop", "snapshot", "none"])
+    t.add_argument("--sighup_effect", default="snapshot", choices=["stop", "snapshot", "none"])
+    t.set_defaults(fn=cmd_train)
+
+    te = sub.add_parser("test")
+    te.add_argument("--model", required=True)
+    te.add_argument("--weights", default="")
+    te.add_argument("--data", default="synthetic-pose")
+    te.add_argument("--iterations", type=int, default=50)
+    te.set_defaults(fn=cmd_test)
+
+    ti = sub.add_parser("time")
+    ti.add_argument("--model", required=True)
+    ti.add_argument("--iterations", type=int, default=10)
+    ti.add_argument("--phase", default="TEST", choices=["TRAIN", "TEST"])
+    ti.set_defaults(fn=cmd_time)
+
+    d = sub.add_parser("device_query")
+    d.set_defaults(fn=cmd_device_query)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,131 @@
+"""CLI tool tests: train/test/time/device_query round trips, aux tools,
+signal handler, and NetSpec."""
+
+import os
+import signal
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+TRAIN_NET = """
+name: "lsq"
+input: "x" input_shape { dim: 8 dim: 3 }
+input: "y" input_shape { dim: 8 dim: 1 }
+layer { name: "fc" type: "InnerProduct" bottom: "x" top: "pred"
+  inner_product_param { num_output: 1 weight_filler { type: "gaussian" std: 0.5 } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "pred" bottom: "y" top: "loss" }
+"""
+
+
+@pytest.fixture
+def lsq_files(tmp_path):
+    import h5py
+
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(TRAIN_NET)
+    solver_path = tmp_path / "solver.prototxt"
+    solver_path.write_text(
+        f'net: "{net_path}"\nbase_lr: 0.05\nlr_policy: "fixed"\nmomentum: 0.9\n'
+        f'max_iter: 60\ndisplay: 0\nsnapshot_prefix: "{tmp_path}/snap"\n'
+    )
+    rs = np.random.RandomState(0)
+    X = rs.randn(8, 3).astype(np.float32)
+    Y = (X @ np.array([[1.0], [2.0], [-1.0]], np.float32)) + 0.5
+    h5 = tmp_path / "data.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("x", data=X)
+        f.create_dataset("y", data=Y)
+    return str(net_path), str(solver_path), str(h5), tmp_path
+
+
+def test_caffe_train_and_test(lsq_files, capsys):
+    from caffe_rtpose_tpu.tools.caffe_tool import main
+
+    net_path, solver_path, h5, tmp = lsq_files
+    assert main(["train", "--solver", solver_path, "--data", h5]) == 0
+    out = capsys.readouterr().out
+    assert "Optimization Done" in out
+    # snapshot written by snapshot_after_train
+    snaps = [f for f in os.listdir(tmp) if f.endswith(".caffemodel")]
+    assert snaps
+    # test command with the trained weights
+    w = os.path.join(tmp, sorted(snaps)[-1])
+    assert main(["test", "--model", net_path, "--weights", w,
+                 "--data", h5, "--iterations", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "loss = " in out or "loss" in out
+
+
+def test_caffe_time(lsq_files, capsys):
+    from caffe_rtpose_tpu.tools.caffe_tool import main
+
+    net_path, _, _, _ = lsq_files
+    assert main(["time", "--model", net_path, "--iterations", "2", "--phase", "TRAIN"]) == 0
+    out = capsys.readouterr().out
+    assert "fc" in out and "forward:" in out and "FUSED" in out
+
+
+def test_device_query(capsys):
+    from caffe_rtpose_tpu.tools.caffe_tool import main
+
+    assert main(["device_query"]) == 0
+    assert "platform" in capsys.readouterr().out
+
+
+def test_signal_handler_snapshot_action():
+    from caffe_rtpose_tpu.utils.signals import SignalHandler, SolverAction
+
+    h = SignalHandler()
+    assert h.check_for_action() == SolverAction.NONE
+    os.kill(os.getpid(), signal.SIGHUP)
+    import time
+
+    time.sleep(0.05)
+    assert h.check_for_action() == SolverAction.SNAPSHOT
+    assert h.check_for_action() == SolverAction.NONE
+    h.restore()
+
+
+def test_aux_tools_roundtrip(tmp_path, capsys):
+    from caffe_rtpose_tpu.tools.aux_tools import compute_image_mean, main
+
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rs = np.random.RandomState(0)
+    names = []
+    for i in range(4):
+        name = f"im{i}.png"
+        cv2.imwrite(str(imgdir / name), (rs.rand(10, 12, 3) * 255).astype(np.uint8))
+        names.append(name)
+    listfile = tmp_path / "list.txt"
+    listfile.write_text("".join(f"{n} {i}\n" for i, n in enumerate(names)))
+    out_h5 = str(tmp_path / "pack.h5")
+    assert main(["convert_imageset", str(listfile), str(imgdir), out_h5,
+                 "--resize_height", "8", "--resize_width", "8"]) == 0
+    import h5py
+
+    with h5py.File(out_h5) as f:
+        assert f["data"].shape == (4, 3, 8, 8)
+        assert list(f["label"]) == [0, 1, 2, 3]
+    mean = compute_image_mean(out_h5)
+    assert mean.shape == (3, 8, 8)
+
+
+def test_netspec_dsl():
+    from caffe_rtpose_tpu.core.net import Net
+    from caffe_rtpose_tpu.core.net_spec import L, NetSpec
+
+    n = NetSpec("tiny")
+    n.data = L.Input(shape=dict(dim=[1, 3, 8, 8]))
+    n.conv1 = L.Convolution(n.data, num_output=4, kernel_size=3, pad=1,
+                            weight_filler=dict(type="xavier"))
+    n.relu1 = L.ReLU(n.conv1, in_place=True)
+    n.pool1 = L.Pooling(n.data, pool="MAX", kernel_size=2, stride=2)
+    proto = n.to_prototxt()
+    assert 'type: "Convolution"' in proto
+    net = Net(n.to_proto())
+    assert net.blob_shape("conv1") == (1, 4, 8, 8)
+    assert net.blob_shape("pool1") == (1, 3, 4, 4)
