@@ -1,0 +1,425 @@
+"""pycaffe-compatible API surface (reference python/caffe/: pycaffe.py,
+classifier.py, detector.py, io.py, draw.py).
+
+    from caffe_rtpose_tpu import api as caffe
+    net = caffe.Net(proto, weights, caffe.TEST)
+    out = net.forward(data=batch)          # {output_name: ndarray}
+    net.blobs['conv1'].data                # activations (caffe NCHW layout)
+    net.params['conv1'][0].data            # weights (caffe layout)
+    diffs = net.backward(loss=np.ones(())) # bottom/input gradients
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .core.net import Net as _CoreNet
+from .ops import layout
+
+TRAIN = "TRAIN"
+TEST = "TEST"
+
+
+class _Blob:
+    """pycaffe Blob facade: .data / .diff / .shape."""
+
+    def __init__(self, shape):
+        self._shape = tuple(int(d) for d in shape)
+        self.data = np.zeros(self._shape, np.float32)
+        self.diff = np.zeros(self._shape, np.float32)
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def num(self):
+        return self._shape[0]
+
+    @property
+    def channels(self):
+        return self._shape[1] if len(self._shape) > 1 else 1
+
+    def reshape(self, *shape):
+        self._shape = tuple(shape)
+        self.data = np.zeros(self._shape, np.float32)
+        self.diff = np.zeros(self._shape, np.float32)
+
+
+class Net:
+    """pycaffe-style wrapper over the jitted graph runtime."""
+
+    def __init__(self, prototxt: str, weights: Optional[str] = None, phase: str = TEST, **kw):
+        if weights in (TRAIN, TEST):  # Net(proto, phase) signature
+            phase, weights = weights, None
+        self._net = _CoreNet(prototxt, phase=phase, **kw)
+        self.blobs: "OrderedDict[str, _Blob]" = OrderedDict()
+        for name, info in self._net.blob_infos.items():
+            self.blobs[name] = _Blob(info.shape_caffe)
+        self.params: "OrderedDict[str, List[_Blob]]" = OrderedDict()
+        for impl in self._net.impls:
+            if impl.params:
+                blobs = []
+                for pi, arr in zip(impl.params, self._net.params[impl.name]):
+                    b = _Blob(pi.caffe_shape)
+                    b.data = np.array(pi.export_caffe(np.asarray(arr))).reshape(pi.caffe_shape).copy()
+                    blobs.append(b)
+                self.params[impl.name] = blobs
+        if weights:
+            self.copy_from(weights)
+
+    # ------------------------------------------------------------- pycaffe
+
+    @property
+    def inputs(self) -> List[str]:
+        return list(self._net.input_names)
+
+    @property
+    def outputs(self) -> List[str]:
+        return self._net.output_names()
+
+    def copy_from(self, weights_path: str) -> None:
+        self._net.load_weights(weights_path)
+        self._refresh_params()
+
+    def save(self, path: str) -> None:
+        self._push_params()
+        self._net.save_caffemodel(path)
+
+    def _refresh_params(self) -> None:
+        for name, blobs in self.params.items():
+            impl = self._net.layer_by_name[name]
+            for pi, arr, b in zip(impl.params, self._net.params[name], blobs):
+                b.data = np.array(pi.export_caffe(np.asarray(arr))).reshape(pi.caffe_shape).copy()
+
+    def _push_params(self) -> None:
+        """Write user edits of net.params[...][i].data back to the runtime."""
+        import jax.numpy as jnp
+
+        for name, blobs in self.params.items():
+            impl = self._net.layer_by_name[name]
+            self._net.params[name] = [
+                jnp.asarray(pi.import_caffe(np.asarray(b.data, np.float32)))
+                for pi, b in zip(impl.params, blobs)
+            ]
+
+    def forward(self, blobs: Optional[Sequence[str]] = None, **inputs) -> Dict[str, np.ndarray]:
+        """Run forward; returns output blobs (+ requested extra blobs);
+        refreshes .blobs[*].data (pycaffe _Net_forward semantics)."""
+        self._push_params()
+        for name in self.inputs:
+            if name not in inputs:
+                inputs[name] = self.blobs[name].data
+        want = list(self.outputs) + [b for b in (blobs or []) if b not in self.outputs]
+        fetch = list(dict.fromkeys(want + list(self._net.blob_infos.keys())))
+        out = self._net.forward(inputs, outputs=fetch)
+        for name, arr in out.items():
+            if name in self.blobs:
+                self.blobs[name].data = arr
+        for name, arr in inputs.items():
+            self.blobs[name].data = np.asarray(arr)
+        return {k: out[k] for k in want}
+
+    def backward(self, **top_diffs) -> Dict[str, np.ndarray]:
+        """Gradients of sum(top * top_diff) wrt graph inputs and params;
+        fills .blobs[input].diff and .params[*][i].diff."""
+        import jax
+        import jax.numpy as jnp
+
+        self._push_params()
+        inputs = {name: self.blobs[name].data for name in self.inputs}
+        diffs = {k: jnp.asarray(v, jnp.float32) for k, v in top_diffs.items()}
+        net = self._net
+
+        phys_inputs = {}
+        for name in net.input_names:
+            arr = jnp.asarray(inputs[name])
+            if net.blob_infos[name].nhwc and arr.ndim == 4:
+                arr = layout.to_physical(arr)
+            phys_inputs[name] = arr.astype(jnp.float32)
+
+        def scalar(params, phys):
+            blobs = net._apply(params, phys, jax.random.PRNGKey(0), None, net.phase == "TRAIN")
+            total = 0.0
+            for k, d in diffs.items():
+                v = blobs[k]
+                info = net.blob_infos.get(k)
+                dv = jnp.asarray(d)
+                if info is not None and info.nhwc and dv.ndim == 4:
+                    dv = layout.to_physical(dv)
+                total = total + jnp.sum(v.astype(jnp.float32) * jnp.broadcast_to(dv, v.shape))
+            return total
+
+        gp, gi = jax.grad(scalar, argnums=(0, 1))(net.params, phys_inputs)
+        out: Dict[str, np.ndarray] = {}
+        for name, g in gi.items():
+            info = net.blob_infos[name]
+            arr = np.asarray(g)
+            if info.nhwc and arr.ndim == 4:
+                arr = np.asarray(layout.to_caffe(arr))
+            self.blobs[name].diff = arr
+            out[name] = arr
+        for name, blobs_ in self.params.items():
+            impl = net.layer_by_name[name]
+            for pi, b, g in zip(impl.params, blobs_, gp.get(name, [])):
+                b.diff = np.asarray(pi.export_caffe(np.asarray(g))).reshape(pi.caffe_shape)
+        return out
+
+    def forward_all(self, blobs=None, **kwargs) -> Dict[str, np.ndarray]:
+        """Batched forward over all inputs (pycaffe.py _Net_forward_all)."""
+        batch = self.blobs[self.inputs[0]].shape[0]
+        total = len(next(iter(kwargs.values())))
+        outs: Dict[str, List[np.ndarray]] = {}
+        for i in range(0, total, batch):
+            chunk = {k: _pad_batch(v[i : i + batch], batch) for k, v in kwargs.items()}
+            out = self.forward(blobs=blobs, **chunk)
+            take = min(batch, total - i)
+            for k, v in out.items():
+                outs.setdefault(k, []).append(v[:take])
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    @property
+    def layer_dict(self):
+        return OrderedDict((i.name, i) for i in self._net.impls)
+
+
+def _pad_batch(arr, batch):
+    if len(arr) == batch:
+        return arr
+    pad = np.repeat(arr[-1:], batch - len(arr), axis=0)
+    return np.concatenate([arr, pad])
+
+
+# -------------------------------------------------------------------- io
+
+
+def load_image(path: str, color: bool = True) -> np.ndarray:
+    """RGB float image in [0, 1] (caffe.io.load_image semantics)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR if color else cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise IOError(f"cannot load {path}")
+    if color:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    else:
+        img = img[..., None]
+    return img.astype(np.float32) / 255.0
+
+
+def resize_image(im: np.ndarray, new_dims, interp_order: int = 1) -> np.ndarray:
+    import cv2
+
+    interp = {0: cv2.INTER_NEAREST, 1: cv2.INTER_LINEAR, 2: cv2.INTER_CUBIC}.get(
+        interp_order, cv2.INTER_LINEAR
+    )
+    out = cv2.resize(im, (int(new_dims[1]), int(new_dims[0])), interpolation=interp)
+    if out.ndim == 2:
+        out = out[..., None]
+    return out
+
+
+def oversample(images: Sequence[np.ndarray], crop_dims) -> np.ndarray:
+    """10-crop oversampling: 4 corners + center, mirrored (caffe.io.oversample)."""
+    ch, cw = int(crop_dims[0]), int(crop_dims[1])
+    crops = []
+    for im in images:
+        h, w = im.shape[:2]
+        xs = [0, w - cw, 0, w - cw, (w - cw) // 2]
+        ys = [0, 0, h - ch, h - ch, (h - ch) // 2]
+        for x, y in zip(xs, ys):
+            c = im[y : y + ch, x : x + cw]
+            crops.append(c)
+            crops.append(c[:, ::-1])
+    return np.stack(crops)
+
+
+class Transformer:
+    """caffe.io.Transformer: preprocessing configuration per input blob."""
+
+    def __init__(self, inputs: Dict[str, Sequence[int]]):
+        self.inputs = {k: tuple(v) for k, v in inputs.items()}
+        self.transpose: Dict[str, tuple] = {}
+        self.channel_swap: Dict[str, tuple] = {}
+        self.raw_scale: Dict[str, float] = {}
+        self.mean: Dict[str, np.ndarray] = {}
+        self.input_scale: Dict[str, float] = {}
+
+    def set_transpose(self, name, order):
+        self.transpose[name] = tuple(order)
+
+    def set_channel_swap(self, name, order):
+        self.channel_swap[name] = tuple(order)
+
+    def set_raw_scale(self, name, scale):
+        self.raw_scale[name] = scale
+
+    def set_mean(self, name, mean):
+        self.mean[name] = np.asarray(mean, np.float32)
+
+    def set_input_scale(self, name, scale):
+        self.input_scale[name] = scale
+
+    def preprocess(self, name, data: np.ndarray) -> np.ndarray:
+        x = np.asarray(data, np.float32)
+        shape = self.inputs[name]
+        if x.shape[:2] != tuple(shape[2:]):
+            x = resize_image(x, shape[2:])
+        if name in self.transpose:
+            x = x.transpose(self.transpose[name])
+        if name in self.channel_swap:
+            x = x[np.asarray(self.channel_swap[name])]
+        if name in self.raw_scale:
+            x = x * self.raw_scale[name]
+        if name in self.mean:
+            m = self.mean[name]
+            if m.ndim == 1:
+                m = m.reshape(-1, 1, 1)
+            x = x - m
+        if name in self.input_scale:
+            x = x * self.input_scale[name]
+        return x
+
+    def deprocess(self, name, data: np.ndarray) -> np.ndarray:
+        x = np.asarray(data, np.float32).copy()
+        if name in self.input_scale:
+            x = x / self.input_scale[name]
+        if name in self.mean:
+            m = self.mean[name]
+            if m.ndim == 1:
+                m = m.reshape(-1, 1, 1)
+            x = x + m
+        if name in self.raw_scale:
+            x = x / self.raw_scale[name]
+        if name in self.channel_swap:
+            inv = np.argsort(self.channel_swap[name])
+            x = x[inv]
+        if name in self.transpose:
+            x = x.transpose(np.argsort(self.transpose[name]))
+        return x
+
+
+class Classifier(Net):
+    """caffe.Classifier: image -> class probabilities with crop/oversample."""
+
+    def __init__(self, model_file, pretrained_file=None, image_dims=None,
+                 mean=None, input_scale=None, raw_scale=None, channel_swap=None):
+        super().__init__(model_file, pretrained_file, TEST)
+        in_ = self.inputs[0]
+        self.transformer = Transformer({in_: self.blobs[in_].shape})
+        self.transformer.set_transpose(in_, (2, 0, 1))
+        if mean is not None:
+            self.transformer.set_mean(in_, mean)
+        if input_scale is not None:
+            self.transformer.set_input_scale(in_, input_scale)
+        if raw_scale is not None:
+            self.transformer.set_raw_scale(in_, raw_scale)
+        if channel_swap is not None:
+            self.transformer.set_channel_swap(in_, channel_swap)
+        self.crop_dims = np.array(self.blobs[in_].shape[2:])
+        self.image_dims = np.array(image_dims if image_dims is not None else self.crop_dims)
+
+    def predict(self, inputs: Sequence[np.ndarray], oversample_: bool = True) -> np.ndarray:
+        in_ = self.inputs[0]
+        images = [resize_image(im, self.image_dims) for im in inputs]
+        if oversample_:
+            crops = oversample(images, self.crop_dims)
+        else:
+            center = (np.asarray(images[0].shape[:2]) - self.crop_dims) // 2
+            crops = np.stack([
+                im[center[0] : center[0] + self.crop_dims[0],
+                   center[1] : center[1] + self.crop_dims[1]] for im in images
+            ])
+        data = np.stack([self.transformer.preprocess(in_, c) for c in crops])
+        out = self.forward_all(**{in_: data})[self.outputs[0]]
+        if oversample_:
+            out = out.reshape(len(inputs), 10, -1).mean(1)
+        return out
+
+
+class Detector(Net):
+    """caffe.Detector: windowed detection (detect_windows)."""
+
+    def __init__(self, model_file, pretrained_file=None, mean=None,
+                 input_scale=None, raw_scale=None, channel_swap=None, context_pad=0):
+        super().__init__(model_file, pretrained_file, TEST)
+        in_ = self.inputs[0]
+        self.transformer = Transformer({in_: self.blobs[in_].shape})
+        self.transformer.set_transpose(in_, (2, 0, 1))
+        if mean is not None:
+            self.transformer.set_mean(in_, mean)
+        if input_scale is not None:
+            self.transformer.set_input_scale(in_, input_scale)
+        if raw_scale is not None:
+            self.transformer.set_raw_scale(in_, raw_scale)
+        if channel_swap is not None:
+            self.transformer.set_channel_swap(in_, channel_swap)
+        self.context_pad = context_pad
+
+    def detect_windows(self, images_windows):
+        in_ = self.inputs[0]
+        dims = self.blobs[in_].shape[2:]
+        window_inputs = []
+        meta = []
+        for path, windows in images_windows:
+            image = load_image(path)
+            for window in windows:
+                y0, x0, y1, x1 = [int(v) for v in window]
+                crop = image[y0:y1, x0:x1]
+                window_inputs.append(self.transformer.preprocess(in_, resize_image(crop, dims)))
+                meta.append((path, window))
+        data = np.stack(window_inputs)
+        out = self.forward_all(**{in_: data})[self.outputs[0]]
+        return [
+            {"window": w, "filename": f, "prediction": out[i]}
+            for i, (f, w) in enumerate(meta)
+        ]
+
+
+def draw_net_text(net_param: dict) -> str:
+    """Text rendering of the DAG (caffe.draw fallback without graphviz)."""
+    lines = []
+    for l in net_param.get("layer", []):
+        bottoms = ", ".join(l.get("bottom", []))
+        tops = ", ".join(l.get("top", []))
+        lines.append(f"{l.get('name')} ({l.get('type')}): [{bottoms}] -> [{tops}]")
+    return "\n".join(lines)
+
+
+def draw_net_dot(net_param: dict) -> str:
+    """Graphviz .dot source for the net DAG (caffe.draw.draw_net)."""
+    lines = ["digraph net {", "  rankdir=LR;"]
+    for l in net_param.get("layer", []):
+        name = l.get("name")
+        lines.append(f'  "{name}" [shape=record, label="{name}|{l.get("type")}"];')
+        for b in l.get("bottom", []):
+            lines.append(f'  "blob_{b}" -> "{name}";')
+        for t in l.get("top", []):
+            lines.append(f'  "{name}" -> "blob_{t}";')
+    for l in net_param.get("layer", []):
+        for t in l.get("top", []):
+            lines.append(f'  "blob_{t}" [shape=oval, label="{t}"];')
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def SGDSolver(solver_file: str, data_fn=None):
+    """pycaffe-style solver constructor; ``data_fn(it) -> {input: array}``
+    feeds the graph inputs (data layers are external in this framework)."""
+    from .proto import caffe_pb, prototxt
+    from .training.solver import Solver
+
+    msg = prototxt.parse_file(solver_file, "SolverParameter")
+    sp = caffe_pb.view(msg, "SolverParameter")
+    net_src = sp.net if sp.has("net") else sp.train_net
+    net = _CoreNet(net_src, phase=TRAIN)
+    if data_fn is None:
+        def data_fn(it):
+            raise RuntimeError("provide data_fn to feed the net inputs")
+    return Solver(msg, net, data_fn)
+
+
+AdamSolver = NesterovSolver = AdaGradSolver = RMSPropSolver = AdaDeltaSolver = SGDSolver

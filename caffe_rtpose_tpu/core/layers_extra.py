@@ -1,0 +1,284 @@
+"""Additional Caffe layer types: recurrent family, SPP, Im2col, BatchReindex,
+InfogainLoss, Parameter, DummyData, HDF5Output.
+
+Registered into the same registry as core.layers (imported by core.net).
+Recurrent semantics follow reference src/caffe/layers/{recurrent,lstm,rnn}_layer.cpp:
+time-major bottoms x (T, N, ...) and cont (T, N); hidden state resets where
+cont == 0; parameter blobs match Caffe's unrolled-net parameter order so
+.caffemodel weights interchange.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import layout
+from ..ops import losses as op_losses
+from ..ops import nn as op_nn
+from ..proto.caffe_pb import POOL_METHOD, View
+from . import filler as op_filler
+from .layers import (
+    BuildCtx,
+    LayerImpl,
+    ParamInfo,
+    _base,
+    _param_mults,
+    register,
+)
+
+
+@register("BatchReindex")
+def build_batch_reindex(ctx: BuildCtx) -> LayerImpl:
+    """top = bottom[0][bottom[1]] along axis 0 (batch_reindex_layer.cpp)."""
+
+    def apply(p, bots, rng, training, knobs=None):
+        idx = bots[1].reshape(-1).astype(jnp.int32)
+        return (jnp.take(bots[0], idx, axis=0),)
+
+    return _base(ctx, apply)
+
+
+@register("Parameter")
+def build_parameter(ctx: BuildCtx) -> LayerImpl:
+    shape = tuple(int(d) for d in ctx.lv.parameter_param.shape.dim)
+    lr0, dc0 = _param_mults(ctx.lv, 0)
+    params = [ParamInfo(shape, lambda key: jnp.zeros(shape, jnp.float32),
+                        lambda a: a.reshape(shape), lambda a: a, lr0, dc0)]
+
+    def apply(p, bots, rng, training, knobs=None):
+        return (p[0],)
+
+    return _base(ctx, apply, params, top_nhwc=[len(shape) == 4])
+
+
+@register("DummyData")
+def build_dummy_data(ctx: BuildCtx) -> LayerImpl:
+    dp = ctx.lv.dummy_data_param
+    shapes: List[tuple] = []
+    if dp.shape:
+        shapes = [tuple(int(d) for d in bs.dim) for bs in dp.shape]
+    else:
+        for i in range(len(dp.num)):
+            shapes.append((int(dp.num[i]), int(dp.channels[i]), int(dp.height[i]), int(dp.width[i])))
+    n_tops = len(ctx.lv.top)
+    while len(shapes) < n_tops:
+        shapes.append(shapes[-1])
+    fillers = list(dp.data_filler) or [View({"type": "constant"}, "FillerParameter")]
+    while len(fillers) < n_tops:
+        fillers.append(fillers[-1])
+
+    def apply(p, bots, rng, training, knobs=None):
+        outs = []
+        for i in range(n_tops):
+            key = jax.random.fold_in(rng, i)
+            arr = op_filler.fill(key, shapes[i], fillers[i])
+            if len(shapes[i]) == 4:
+                arr = layout.to_physical(arr)
+            outs.append(arr)
+        return tuple(outs)
+
+    return _base(ctx, apply)
+
+
+@register("HDF5Output")
+def build_hdf5_output(ctx: BuildCtx) -> LayerImpl:
+    """Marks bottoms for export; Net.forward collects them post-execution and
+    appends to the target file (hdf5_output_layer.cpp writes data/label)."""
+    file_name = ctx.lv.hdf5_output_param.file_name
+
+    def apply(p, bots, rng, training, knobs=None):
+        return ()
+
+    impl = _base(ctx, apply)
+    impl.hdf5_output_file = file_name  # consumed by Net.forward
+    return impl
+
+
+@register("InfogainLoss")
+def build_infogain(ctx: BuildCtx) -> LayerImpl:
+    lv = ctx.lv
+    source = lv.infogain_loss_param.source if lv.infogain_loss_param.has("source") else None
+    if len(ctx.bottoms) < 3 and not source:
+        raise ValueError("InfogainLoss needs an H matrix (3rd bottom or source file)")
+    H_static = None
+    if source and len(ctx.bottoms) < 3:
+        if source.endswith(".npy"):
+            H_static = jnp.asarray(np.load(source), jnp.float32)
+        else:
+            from ..proto import caffe_pb as pb
+            from ..proto import caffemodel, wire
+
+            with open(source, "rb") as f:
+                blob = wire.decode(f.read(), pb.SCHEMA, "BlobProto")
+            H_static = jnp.asarray(caffemodel.blob_to_array(blob).squeeze())
+
+    def apply(p, bots, rng, training, knobs=None):
+        probs = bots[0].reshape(bots[0].shape[0], -1)
+        labels = bots[1].reshape(-1)
+        H = H_static if H_static is not None else bots[2].reshape(probs.shape[1], probs.shape[1])
+        return (op_losses.infogain(probs, labels, H),)
+
+    return _base(ctx, apply, loss_weights=list(lv.loss_weight) or [1.0], top_nhwc=[False])
+
+
+@register("Im2col")
+def build_im2col(ctx: BuildCtx) -> LayerImpl:
+    """Patch extraction -> (N, C*kh*kw, oh, ow) in caffe channel order
+    (im2col_layer.cpp); physical output NHWC with C = C*kh*kw."""
+    cp = ctx.lv.convolution_param
+    from .layers import _hw
+
+    kh, kw = _hw(cp.kernel_size, cp.kernel_h if cp.has("kernel_h") else None,
+                 cp.kernel_w if cp.has("kernel_w") else None, None)
+    sh, sw = _hw(cp.stride, cp.stride_h if cp.has("stride_h") else None,
+                 cp.stride_w if cp.has("stride_w") else None, 1)
+    ph, pw = _hw(cp.pad, None, None, 0)
+
+    def apply(p, bots, rng, training, knobs=None):
+        x = bots[0]  # (N, H, W, C)
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (kh, kw), (sh, sw), [(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # channels ordered C*kh*kw with C slowest (lhs spec order)
+        return (patches,)
+
+    return _base(ctx, apply)
+
+
+@register("SPP")
+def build_spp(ctx: BuildCtx) -> LayerImpl:
+    """Spatial pyramid pooling (spp_layer.cpp): levels 0..pyramid_height-1,
+    level i pools to a 2^i x 2^i grid; outputs concat of flattened levels."""
+    sp = ctx.lv.spp_param
+    levels = int(sp.pyramid_height)
+    method = sp.pool
+    x = ctx.bottoms[0]
+    n, h, w, c = x.shape_physical
+    import math
+
+    plans = []
+    for i in range(levels):
+        bins = 2 ** i
+        kh = int(math.ceil(h / float(bins)))
+        kw = int(math.ceil(w / float(bins)))
+        ph = int((kh * bins - h + 1) / 2)
+        pw = int((kw * bins - w + 1) / 2)
+        plans.append((bins, kh, kw, ph, pw))
+
+    def apply(p, bots, rng, training, knobs=None):
+        xx = bots[0]
+        outs = []
+        for bins, kh, kw, ph, pw in plans:
+            if method == POOL_METHOD["MAX"]:
+                y = op_nn.max_pool2d(xx, (kh, kw), (kh, kw), (ph, pw))
+            else:
+                y = op_nn.avg_pool2d(xx, (kh, kw), (kh, kw), (ph, pw))
+            y = y[:, :bins, :bins, :]
+            # caffe flatten order: (N, C, bins, bins) -> (N, C*bins*bins)
+            outs.append(layout.to_caffe(y).reshape(y.shape[0], -1))
+        return (jnp.concatenate(outs, axis=1),)
+
+    return _base(ctx, apply, top_nhwc=[False])
+
+
+def _recurrent_params(lv: View, input_dim: int, H: int, n_blobs: int):
+    """Caffe recurrent weight fillers; blob shapes depend on the variant."""
+    wf = lv.recurrent_param.weight_filler
+    bf = lv.recurrent_param.bias_filler
+    return wf, bf
+
+
+@register("LSTM")
+def build_lstm(ctx: BuildCtx) -> LayerImpl:
+    """Caffe LSTMLayer (lstm_layer.cpp): bottoms x (T, N, D), cont (T, N);
+    params [W_xc (4H, D), b_c (4H), W_hc (4H, H)]; gate order i, f, o, g."""
+    lv = ctx.lv
+    H = int(lv.recurrent_param.num_output)
+    x_info = ctx.bottoms[0]
+    T, N = x_info.shape_caffe[0], x_info.shape_caffe[1]
+    D = int(np.prod(x_info.shape_caffe[2:]))
+    wf, bf = _recurrent_params(lv, D, H, 3)
+    lr = [_param_mults(lv, i) for i in range(3)]
+    params = [
+        ParamInfo((4 * H, D), lambda key: op_filler.fill(key, (4 * H, D), wf),
+                  lambda a: a.reshape(4 * H, D), lambda a: a, lr[0][0], lr[0][1]),
+        ParamInfo((4 * H,), lambda key: op_filler.fill(key, (4 * H,), bf),
+                  lambda a: a.reshape(4 * H), lambda a: a, lr[1][0], lr[1][1]),
+        ParamInfo((4 * H, H), lambda key: op_filler.fill(key, (4 * H, H), wf),
+                  lambda a: a.reshape(4 * H, H), lambda a: a, lr[2][0], lr[2][1]),
+    ]
+    expose = bool(lv.recurrent_param.expose_hidden)
+
+    def apply(p, bots, rng, training, knobs=None):
+        W_xc, b_c, W_hc = p
+        x = bots[0].reshape(T, N, D).astype(jnp.float32)
+        cont = bots[1].reshape(T, N).astype(jnp.float32)
+        xw = jnp.einsum("tnd,gd->tng", x, W_xc) + b_c  # (T, N, 4H)
+
+        def step(carry, inp):
+            h_prev, c_prev = carry
+            xt, ct = inp
+            h_c = h_prev * ct[:, None]
+            c_c = c_prev * ct[:, None]
+            gates = xt + h_c @ W_hc.T
+            i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+            f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+            o = jax.nn.sigmoid(gates[:, 2 * H : 3 * H])
+            g = jnp.tanh(gates[:, 3 * H : 4 * H])
+            c = f * c_c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        init = (jnp.zeros((N, H), jnp.float32), jnp.zeros((N, H), jnp.float32))
+        (h_T, c_T), hs = jax.lax.scan(step, init, (xw, cont))
+        out = hs.astype(bots[0].dtype)
+        if expose:
+            return (out, h_T, c_T)
+        return (out,)
+
+    return _base(ctx, apply, params, top_nhwc=[False] * (3 if expose else 1))
+
+
+@register("RNN")
+def build_rnn(ctx: BuildCtx) -> LayerImpl:
+    """Caffe RNNLayer (rnn_layer.cpp): h_t = tanh(W_hh h_{t-1}*cont + W_xh x_t
+    + b_h); o_t = tanh(W_ho h_t + b_o); params in caffe order
+    [W_xh (H,D), b_h (H), W_hh (H,H), W_ho (H,H), b_o (H)]."""
+    lv = ctx.lv
+    H = int(lv.recurrent_param.num_output)
+    x_info = ctx.bottoms[0]
+    T, N = x_info.shape_caffe[0], x_info.shape_caffe[1]
+    D = int(np.prod(x_info.shape_caffe[2:]))
+    wf, bf = _recurrent_params(lv, D, H, 5)
+    shapes = [(H, D), (H,), (H, H), (H, H), (H,)]
+    fillers = [wf, bf, wf, wf, bf]
+    params = []
+    for i, (shp, fl) in enumerate(zip(shapes, fillers)):
+        lr_i, dc_i = _param_mults(lv, i)
+        params.append(ParamInfo(shp, (lambda s, f: lambda key: op_filler.fill(key, s, f))(shp, fl),
+                                (lambda s: lambda a: a.reshape(s))(shp), lambda a: a, lr_i, dc_i))
+    expose = bool(lv.recurrent_param.expose_hidden)
+
+    def apply(p, bots, rng, training, knobs=None):
+        W_xh, b_h, W_hh, W_ho, b_o = p
+        x = bots[0].reshape(T, N, D).astype(jnp.float32)
+        cont = bots[1].reshape(T, N).astype(jnp.float32)
+        xw = jnp.einsum("tnd,hd->tnh", x, W_xh) + b_h
+
+        def step(h_prev, inp):
+            xt, ct = inp
+            h = jnp.tanh(xt + (h_prev * ct[:, None]) @ W_hh.T)
+            o = jnp.tanh(h @ W_ho.T + b_o)
+            return h, o
+
+        h_T, os_ = jax.lax.scan(step, jnp.zeros((N, H), jnp.float32), (xw, cont))
+        out = os_.astype(bots[0].dtype)
+        if expose:
+            return (out, h_T)
+        return (out,)
+
+    return _base(ctx, apply, params, top_nhwc=[False] * (2 if expose else 1))

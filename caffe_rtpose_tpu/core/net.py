@@ -30,11 +30,12 @@ import numpy as np
 from ..ops import layout
 from ..proto import caffe_pb, caffemodel, prototxt
 from . import layers as L
+from . import layers_extra  # noqa: F401  (registers additional layer types)
 
 log = logging.getLogger(__name__)
 
 DATA_LAYER_TYPES = {
-    "Data", "ImageData", "HDF5Data", "MemoryData", "DummyData", "WindowData", "CPMData",
+    "Data", "ImageData", "HDF5Data", "MemoryData", "WindowData", "CPMData",
 }
 
 
@@ -333,13 +334,23 @@ class Net:
             if info.nhwc:
                 arr = layout.to_physical(arr).astype(self.dtype)
             phys[name] = arr
-        key = ("fwd", tuple(outputs) if outputs else None)
+        # HDF5Output layers: fetch their bottoms and append to the file
+        h5_outputs = [(i.hdf5_output_file, i.bottoms) for i in self.impls
+                      if getattr(i, "hdf5_output_file", None)]
+        eff_outputs = outputs
+        if h5_outputs:
+            eff_outputs = list(outputs or self.output_names())
+            for _, bots in h5_outputs:
+                eff_outputs.extend(b for b in bots if b not in eff_outputs)
+        key = ("fwd", tuple(eff_outputs) if eff_outputs else None)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self.make_forward(outputs)
+            self._jit_cache[key] = self.make_forward(eff_outputs)
         fn = self._jit_cache[key]
         knobs_t = {k: jnp.asarray(v, jnp.float32) for k, v in (knobs or {}).items()} or None
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         out = fn(self.params, phys, rng, knobs_t)
+        if h5_outputs:
+            self._write_hdf5_outputs(h5_outputs, out)
         result = {}
         for k, v in out.items():
             info = self.blob_infos.get(k)
@@ -347,6 +358,27 @@ class Net:
                 v = layout.to_caffe(v)
             result[k] = np.asarray(jax.device_get(v))
         return result
+
+    def _write_hdf5_outputs(self, h5_outputs, blobs) -> None:
+        """Append named blobs to HDF5 files (hdf5_output_layer.cpp parity:
+        each forward appends a batch)."""
+        import h5py
+
+        for path, bots in h5_outputs:
+            with h5py.File(path, "a") as f:
+                for b in bots:
+                    arr = blobs[b]
+                    info = self.blob_infos.get(b)
+                    if info is not None and info.nhwc:
+                        arr = layout.to_caffe(arr)
+                    arr = np.asarray(jax.device_get(arr))
+                    if b in f:
+                        ds = f[b]
+                        n = ds.shape[0]
+                        ds.resize(n + arr.shape[0], axis=0)
+                        ds[n:] = arr
+                    else:
+                        f.create_dataset(b, data=arr, maxshape=(None,) + arr.shape[1:])
 
     def blob_shape(self, name: str) -> Tuple[int, ...]:
         return self.blob_infos[name].shape_caffe

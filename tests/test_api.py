@@ -1,0 +1,107 @@
+"""pycaffe-parity API tests: Net facade (blobs/params/forward/backward),
+Transformer/io, Classifier oversampling, draw."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from caffe_rtpose_tpu import api as caffe
+
+TINY = """
+name: "tiny"
+input: "data"
+input_dim: 2 input_dim: 3 input_dim: 8 input_dim: 8
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 4 pad: 1 kernel_size: 3
+    weight_filler { type: "xavier" } } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "fc" type: "InnerProduct" bottom: "conv1" top: "prob"
+  inner_product_param { num_output: 5 weight_filler { type: "xavier" } } }
+"""
+
+
+def test_net_facade_forward():
+    net = caffe.Net(TINY, caffe.TEST)
+    assert net.inputs == ["data"]
+    assert net.outputs == ["prob"]
+    x = np.random.RandomState(0).randn(2, 3, 8, 8).astype(np.float32)
+    out = net.forward(data=x)
+    assert out["prob"].shape == (2, 5)
+    # blob cache refreshed, caffe layout
+    assert net.blobs["conv1"].data.shape == (2, 4, 8, 8)
+    np.testing.assert_allclose(net.blobs["prob"].data, out["prob"])
+
+
+def test_net_params_edit_roundtrip():
+    net = caffe.Net(TINY, caffe.TEST)
+    x = np.random.RandomState(1).randn(2, 3, 8, 8).astype(np.float32)
+    out1 = net.forward(data=x)["prob"]
+    net.params["fc"][1].data[:] = 10.0  # edit bias in caffe layout
+    out2 = net.forward(data=x)["prob"]
+    np.testing.assert_allclose(out2, out1 + 10.0, rtol=1e-4)
+
+
+def test_net_backward_matches_numeric():
+    net = caffe.Net(TINY, caffe.TEST)
+    x = np.random.RandomState(2).randn(2, 3, 8, 8).astype(np.float32)
+    net.forward(data=x)
+    g = net.backward(prob=np.ones((2, 5), np.float32))
+    assert g["data"].shape == (2, 3, 8, 8)
+    # numeric check on one input element
+    eps = 1e-2
+    xp = x.copy()
+    xp[0, 0, 3, 3] += eps
+    xm = x.copy()
+    xm[0, 0, 3, 3] -= eps
+    fp = net.forward(data=xp)["prob"].sum()
+    fm = net.forward(data=xm)["prob"].sum()
+    numeric = (fp - fm) / (2 * eps)
+    assert g["data"][0, 0, 3, 3] == pytest.approx(numeric, rel=0.05, abs=1e-3)
+    # param diffs populated
+    assert np.abs(net.params["fc"][0].diff).sum() > 0
+
+
+def test_save_and_copy_from(tmp_path):
+    net = caffe.Net(TINY, caffe.TEST)
+    x = np.random.RandomState(3).randn(2, 3, 8, 8).astype(np.float32)
+    out1 = net.forward(data=x)["prob"]
+    p = str(tmp_path / "w.caffemodel")
+    net.save(p)
+    net2 = caffe.Net(TINY, p, caffe.TEST)
+    np.testing.assert_allclose(net2.forward(data=x)["prob"], out1, rtol=1e-5)
+
+
+def test_transformer_roundtrip():
+    t = caffe.Transformer({"data": (1, 3, 8, 8)})
+    t.set_transpose("data", (2, 0, 1))
+    t.set_raw_scale("data", 255.0)
+    t.set_mean("data", np.array([10.0, 20.0, 30.0]))
+    t.set_channel_swap("data", (2, 1, 0))
+    img = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    x = t.preprocess("data", img)
+    assert x.shape == (3, 8, 8)
+    back = t.deprocess("data", x)
+    np.testing.assert_allclose(back, img.transpose(2, 0, 1).transpose(1, 2, 0), rtol=1e-5, atol=1e-5)
+
+
+def test_oversample_and_classifier():
+    imgs = [np.random.RandomState(0).rand(10, 10, 3).astype(np.float32)]
+    crops = caffe.oversample(imgs, (8, 8))
+    assert crops.shape == (10, 8, 8, 3)
+    # mirrored pairs
+    np.testing.assert_allclose(crops[1], crops[0][:, ::-1])
+
+    clf = caffe.Classifier(TINY, image_dims=(10, 10))
+    probs = clf.predict([np.random.RandomState(1).rand(12, 14, 3).astype(np.float32)])
+    assert probs.shape == (1, 5)
+
+
+def test_draw():
+    from caffe_rtpose_tpu.proto import prototxt
+
+    net_param = prototxt.parse(TINY)
+    txt = caffe.draw_net_text(net_param)
+    assert "conv1 (Convolution)" in txt
+    dot = caffe.draw_net_dot(net_param)
+    assert dot.startswith("digraph") and '"conv1"' in dot
