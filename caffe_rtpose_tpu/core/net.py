@@ -263,6 +263,31 @@ class Net:
             )
         caffemodel.save_net_parameter({"name": self.name, "layer": layers}, path)
 
+    def save_hdf5(self, path: str) -> None:
+        """HDF5 weight snapshot (Net::ToHDF5, net.cpp: group 'data' with one
+        group per layer, datasets '0','1',... in caffe layout)."""
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            grp = f.create_group("data")
+            for name, blobs in self.export_weights().items():
+                lg = grp.create_group(name)
+                for i, arr in enumerate(blobs):
+                    lg.create_dataset(str(i), data=arr)
+
+    def load_hdf5(self, path: str) -> int:
+        """Net::CopyTrainedLayersFromHDF5 parity: match groups by layer name."""
+        import h5py
+
+        copied = 0
+        with h5py.File(path, "r") as f:
+            grp = f["data"]
+            weights = {
+                name: [np.asarray(lg[str(i)]) for i in range(len(lg))]
+                for name, lg in grp.items()
+            }
+        return self.load_weights(weights)
+
     # ------------------------------------------------------------ forward
 
     def prune_for(self, outputs: Sequence[str]) -> List[Any]:

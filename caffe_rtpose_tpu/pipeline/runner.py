@@ -160,6 +160,12 @@ class RtPosePipeline:
             raise RuntimeError("OpenCV required for the pipeline")
         self.est = estimator
         self.cfg = cfg
+        if cfg.num_devices > 1:
+            from ..parallel.inference import DevicePool
+
+            self.pool = DevicePool(estimator, cfg.num_devices)
+        else:
+            self.pool = estimator  # same run_device/fetch interface
         self.quit = threading.Event()
         self.stats: List[Dict[str, float]] = []
         self.processed = 0
@@ -206,7 +212,7 @@ class RtPosePipeline:
             if not cfg.no_frame_drops and time.time() - f.commit_time > 0.1:
                 reorder.push_dropped(f.index)
                 continue
-            out = self.est.run_device(f.net_input)
+            out = self.pool.run_device(f.net_input)
             inflight_q.put((f, out))
 
     def _fetcher(self, inflight_q: BlockingQueue, output_q: BlockingQueue):

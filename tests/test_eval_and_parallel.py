@@ -1,0 +1,120 @@
+"""Eval harness (joint-diff, OKS AP), DevicePool frame parallelism on the
+8-device CPU mesh, and HDF5 weight snapshots."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+REF_COCO = "/root/reference/model/coco/pose_deploy_linevec.prototxt"
+
+
+def _write_json(path, bodies):
+    data = {"version": 0.1, "bodies": [{"joints": b} for b in bodies]}
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+
+def test_joint_diff_parity_ok(tmp_path, capsys):
+    from caffe_rtpose_tpu.tools.eval_pose import main
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    joints = [10.0, 20.0, 0.9, 30.0, 40.0, 0.8]
+    _write_json(a / "f.json", [joints])
+    jb = list(joints)
+    jb[0] += 0.5  # within 1px
+    _write_json(b / "f.json", [jb])
+    assert main(["joint-diff", str(a), str(b)]) == 0
+    assert "PARITY OK" in capsys.readouterr().out
+
+
+def test_joint_diff_parity_fail(tmp_path, capsys):
+    from caffe_rtpose_tpu.tools.eval_pose import main
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    _write_json(a / "f.json", [[10.0, 20.0, 0.9]])
+    _write_json(b / "f.json", [[15.0, 20.0, 0.9]])
+    assert main(["joint-diff", str(a), str(b)]) == 2
+    assert "PARITY FAIL" in capsys.readouterr().out
+
+
+def test_oks_ap_perfect_predictions():
+    from caffe_rtpose_tpu.tools.eval_pose import coco_keypoint_ap
+
+    rs = np.random.RandomState(0)
+    gts, dts = {}, {}
+    for img in range(3):
+        kps = []
+        for _ in range(2):
+            kp = np.zeros((17, 3), np.float32)
+            kp[:, 0] = rs.uniform(50, 400, 17)
+            kp[:, 1] = rs.uniform(50, 400, 17)
+            kp[:, 2] = 2
+            kps.append({"keypoints": kp, "area": 10000.0})
+        gts[img] = kps
+        dts[img] = [{"keypoints": k["keypoints"].copy(), "score": 1.0} for k in kps]
+    res = coco_keypoint_ap(gts, dts)
+    assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+    # corrupt predictions -> AP drops
+    for img in dts:
+        for d in dts[img]:
+            d["keypoints"][:, :2] += 200
+    res2 = coco_keypoint_ap(gts, dts)
+    assert res2["AP"] < 0.2
+
+
+@pytest.mark.skipif(not os.path.exists(REF_COCO), reason="reference not mounted")
+def test_device_pool_round_robin_matches_single():
+    import jax
+
+    from caffe_rtpose_tpu.parallel.inference import DevicePool
+    from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+
+    est = PoseEstimator(REF_COCO, net_resolution=(64, 48), seed=5, input_u8=True)
+    pool = DevicePool(est, num_devices=min(4, len(jax.devices())))
+    rs = np.random.RandomState(0)
+    x = (rs.rand(1, 48, 64, 3) * 255).astype(np.uint8)
+    ref = est.fetch(est.run_device(x, nms_threshold=-1.0))
+    outs = [pool.run_device(x, nms_threshold=-1.0) for _ in range(4)]
+    for o in outs:
+        got = pool.fetch(o)
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_hdf5_weight_roundtrip(tmp_path):
+    from caffe_rtpose_tpu.core.net import Net
+
+    text = """
+    input: "x" input_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8
+    layer { name: "c" type: "Convolution" bottom: "x" top: "y"
+      convolution_param { num_output: 2 kernel_size: 3 pad: 1
+        weight_filler { type: "gaussian" std: 0.2 } } }
+    """
+    net = Net(text, seed=1)
+    p = str(tmp_path / "w.h5")
+    net.save_hdf5(p)
+    net2 = Net(text, seed=77)
+    assert net2.load_hdf5(p) == 1
+    x = np.random.RandomState(0).randn(1, 3, 8, 8).astype(np.float32)
+    np.testing.assert_allclose(net.forward(x=x)["y"], net2.forward(x=x)["y"], rtol=1e-5)
+
+
+def test_run_list_parser():
+    from caffe_rtpose_tpu.tools.eval_pose import parse_image_list
+
+    ref = "/root/reference/image_info_val2014_1k.txt"
+    if not os.path.exists(ref):
+        pytest.skip("reference not mounted")
+    entries = parse_image_list(ref)
+    assert len(entries) == 1160
+    assert entries[0] == (136, "COCO_val2014_000000000136.jpg", 374, 500)
