@@ -31,6 +31,24 @@ from .layers import (
 )
 
 
+@register("Switch")
+def build_switch(ctx: BuildCtx) -> LayerImpl:
+    """Selects one bottom as the top. The reference ships a Switch-based
+    deploy prototxt (model/mpi/pose_deploy_linevec_switch.prototxt) but never
+    implemented the layer; here the selection index is a runtime knob
+    ('switch_index', default: last bottom = deepest stage)."""
+    n = len(ctx.lv.bottom)
+
+    def apply(p, bots, rng, training, knobs=None):
+        if knobs and "switch_index" in knobs:
+            idx = jnp.clip(knobs["switch_index"].astype(jnp.int32), 0, n - 1)
+            out = jax.lax.switch(idx, [lambda b=b: b for b in bots])
+            return (out,)
+        return (bots[-1],)
+
+    return _base(ctx, apply)
+
+
 @register("BatchReindex")
 def build_batch_reindex(ctx: BuildCtx) -> LayerImpl:
     """top = bottom[0][bottom[1]] along axis 0 (batch_reindex_layer.cpp)."""

@@ -109,6 +109,9 @@ class AugParams:
     sigma: float = 7.0
     transform_body_joint: bool = True
     np: int = 56
+    do_clahe: bool = False
+    clahe_tile_size: int = 8
+    clahe_clip_limit: int = 4
 
 
 @dataclass
@@ -217,6 +220,45 @@ def augmentation_flip(img, mask_miss, meta: Meta, prm: AugParams, rng):
     return img, mask_miss, doflip
 
 
+def clahe(img_bgr: np.ndarray, tile_size: int = 8, clip_limit: int = 4) -> np.ndarray:
+    """CLAHE on the L channel in Lab space (DataTransformer::clahe,
+    data_transformer.cpp:2505-2528)."""
+    lab = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2Lab)
+    l, a, b = cv2.split(lab)
+    c = cv2.createCLAHE(clipLimit=float(clip_limit), tileGridSize=(tile_size, tile_size))
+    merged = cv2.merge((c.apply(l), a, b))
+    return cv2.cvtColor(merged, cv2.COLOR_Lab2BGR)
+
+
+def put_vec_peaks(entry_x: np.ndarray, entry_y: np.ndarray, center_a: np.ndarray,
+                  center_b: np.ndarray, thre: int = 4) -> None:
+    """Three-blob variant of the PAF writer (putVecPeaks,
+    data_transformer.cpp:2022-2060): unit vectors stamped at A, midpoint and
+    B within a radius-sqrt(thre) disc; same last-writer overlap behavior."""
+    grid_y, grid_x = entry_x.shape
+    a = center_a * 0.125
+    b = center_b * 0.125
+    bc = b - a
+    norm = math.sqrt(float(bc[0] * bc[0] + bc[1] * bc[1]))
+    if norm == 0:
+        return
+    u = bc / norm
+    for j in range(3):
+        center = b * 0.5 * j + a * 0.5 * (2 - j)
+        min_x = max(int(math.floor(center[0] - thre)), 0)
+        max_x = min(int(math.ceil(center[0] + thre)), grid_x)
+        min_y = max(int(math.floor(center[1] - thre)), 0)
+        max_y = min(int(math.ceil(center[1] + thre)), grid_y)
+        if max_x <= min_x or max_y <= min_y:
+            continue
+        gx = np.arange(min_x, max_x)
+        gy = np.arange(min_y, max_y)
+        dist = (gx[None, :] - center[0]) ** 2 + (gy[:, None] - center[1]) ** 2
+        sel = dist <= thre
+        entry_x[min_y:max_y, min_x:max_x][sel] = u[0]
+        entry_y[min_y:max_y, min_x:max_x][sel] = u[1]
+
+
 def put_gaussian_maps(entry: np.ndarray, center: np.ndarray, stride: int, sigma: float) -> None:
     """Accumulate-and-clamp gaussian (putGaussianMaps :2002-2019)."""
     grid_y, grid_x = entry.shape
@@ -312,6 +354,8 @@ def transform(
         raise RuntimeError("OpenCV required")
     rng = rng or np.random.RandomState()
     aug = AugSelection()
+    if prm.do_clahe:
+        img_bgr = clahe(img_bgr, prm.clahe_tile_size, prm.clahe_clip_limit)
     if train:
         img_bgr, mask_miss, aug.scale = augmentation_scale(img_bgr, mask_miss, meta, prm, rng)
         img_bgr, mask_miss, aug.degree = augmentation_rotate(img_bgr, mask_miss, meta, prm, rng)
