@@ -75,7 +75,10 @@ class Net:
 
     @property
     def inputs(self) -> List[str]:
-        return list(self._net.input_names)
+        # data-layer tops are not user-facing inputs (pycaffe net.inputs
+        # lists only net_input_blobs_, net.cpp:AppendTop input handling)
+        return [n for n in self._net.input_names
+                if n not in self._net._data_top_to_layer]
 
     @property
     def outputs(self) -> List[str]:
@@ -88,6 +91,10 @@ class Net:
     def save(self, path: str) -> None:
         self._push_params()
         self._net.save_caffemodel(path)
+
+    def set_input_arrays(self, data: np.ndarray, labels: Optional[np.ndarray] = None) -> None:
+        """Bind arrays to the MemoryData layer (pycaffe Net.set_input_arrays)."""
+        self._net.set_input_arrays(data, labels)
 
     def _refresh_params(self) -> None:
         for name, blobs in self.params.items():
@@ -111,7 +118,8 @@ class Net:
         refreshes .blobs[*].data (pycaffe _Net_forward semantics)."""
         self._push_params()
         for name in self.inputs:
-            if name not in inputs:
+            # data-layer tops are auto-pulled from their bound source
+            if name not in inputs and name not in self._net._data_top_to_layer:
                 inputs[name] = self.blobs[name].data
         want = list(self.outputs) + [b for b in (blobs or []) if b not in self.outputs]
         fetch = list(dict.fromkeys(want + list(self._net.blob_infos.keys())))

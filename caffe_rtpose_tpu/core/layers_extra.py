@@ -300,3 +300,135 @@ def build_rnn(ctx: BuildCtx) -> LayerImpl:
         return (out,)
 
     return _base(ctx, apply, params, top_nhwc=[False] * (2 if expose else 1))
+
+
+@register("LSTMUnit")
+def build_lstm_unit(ctx: BuildCtx) -> LayerImpl:
+    """Single-timestep LSTM gate math (lstm_unit_layer.cpp:43-66).
+
+    Bottoms: c_prev (1, N, H), gate pre-activations X (1, N, 4H) in caffe
+    gate order [i, f, o, g], cont (1, N).  Tops: c, h (1, N, H).
+    ``f`` is additionally scaled (and flushed) by cont."""
+    ctx.require_bottoms(3)
+
+    def apply(p, bots, rng, training, knobs=None):
+        c_prev, X, cont = bots
+        H = c_prev.shape[-1]
+        X = X.astype(jnp.float32)
+        i = jax.nn.sigmoid(X[..., :H])
+        f = jax.nn.sigmoid(X[..., H : 2 * H])
+        o = jax.nn.sigmoid(X[..., 2 * H : 3 * H])
+        g = jnp.tanh(X[..., 3 * H :])
+        cont_b = cont.reshape(cont.shape[0], cont.shape[1], 1).astype(jnp.float32)
+        c = cont_b * f * c_prev.astype(jnp.float32) + i * g
+        h = o * jnp.tanh(c)
+        return (c.astype(c_prev.dtype), h.astype(c_prev.dtype))
+
+    return _base(ctx, apply, top_nhwc=[False, False])
+
+
+@register("Filter")
+def build_filter(ctx: BuildCtx) -> LayerImpl:
+    """Filter (filter_layer.cpp): last bottom is a per-item selector; each
+    other bottom is filtered along axis 0 keeping items whose selector != 0.
+
+    The reference's output batch is data-dependent, which XLA's static-shape
+    model cannot express inside one compiled program.  TPU-native semantics:
+    kept rows are compacted to the FRONT in original order, the tail is
+    zero-filled, and the static output batch equals the input batch (the
+    reference's upper bound).  The kept count is ``sum(selector != 0)``
+    (recoverable by the consumer from the selector blob)."""
+
+    def apply(p, bots, rng, training, knobs=None):
+        sel = bots[-1].reshape(bots[-1].shape[0], -1)[:, 0]
+        keep = sel != 0
+        n = keep.shape[0]
+        # stable compaction: kept items keep their relative order at the
+        # front; dropped items are packed after them
+        k = jnp.sum(keep)
+        order = jnp.where(keep, jnp.cumsum(keep) - 1, k + jnp.cumsum(~keep) - 1)
+        idx = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+        valid = jnp.arange(n) < jnp.sum(keep)
+        outs = []
+        for b in bots[:-1]:
+            g = jnp.take(b, idx, axis=0)
+            mask = valid.reshape((n,) + (1,) * (b.ndim - 1))
+            outs.append(jnp.where(mask, g, jnp.zeros_like(g)))
+        return tuple(outs)
+
+    return _base(ctx, apply)
+
+
+class _PyBlob:
+    """numpy-backed blob shim handed to user Python layers (pycaffe
+    python_layer.hpp semantics: .data/.diff views, .shape, .reshape)."""
+
+    def __init__(self, arr: np.ndarray):
+        self.data = np.array(arr, np.float32)
+        self.diff = np.zeros_like(self.data)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def reshape(self, *shape):
+        self.data = np.zeros(shape, np.float32)
+        self.diff = np.zeros(shape, np.float32)
+
+    def count(self):
+        return self.data.size
+
+
+@register("Python")
+def build_python(ctx: BuildCtx) -> LayerImpl:
+    """'Python' layer (python_layer.hpp, _caffe.cpp Python layer factory):
+    instantiate ``python_param.module``.``python_param.layer`` and drive its
+    setup/reshape/forward protocol.  The user forward runs on host via
+    ``jax.pure_callback`` inside the compiled program — the TPU-native
+    replacement for pycaffe's boost::python re-entry."""
+    pp = ctx.lv.python_param
+    import importlib
+
+    mod = importlib.import_module(pp.module)
+    cls = getattr(mod, pp.layer)
+    inst = cls()
+    inst.param_str = pp.param_str
+
+    caffe_bots = []
+    for bi in ctx.bottoms:
+        caffe_bots.append(_PyBlob(np.zeros(bi.shape_caffe, np.float32)))
+    n_tops = len(ctx.lv.top)
+    caffe_tops = [_PyBlob(np.zeros((1,), np.float32)) for _ in range(n_tops)]
+    if hasattr(inst, "setup"):
+        inst.setup(caffe_bots, caffe_tops)
+    if hasattr(inst, "reshape"):
+        inst.reshape(caffe_bots, caffe_tops)
+    top_shapes = [t.data.shape for t in caffe_tops]
+    bot_nhwc = [bi.nhwc for bi in ctx.bottoms]
+    lock = __import__("threading").Lock()
+
+    def host_forward(*arrays):
+        with lock:  # user layer instances are stateful
+            for blob, arr in zip(caffe_bots, arrays):
+                blob.data = np.asarray(arr, np.float32)
+            inst.forward(caffe_bots, caffe_tops)
+            return tuple(np.asarray(t.data, np.float32) for t in caffe_tops)
+
+    def apply(p, bots, rng, training, knobs=None):
+        caffe_in = []
+        for b, is_nhwc in zip(bots, bot_nhwc):
+            caffe_in.append(layout.to_caffe(b) if (is_nhwc and b.ndim == 4) else b)
+        caffe_in = [b.astype(jnp.float32) for b in caffe_in]
+        result_shapes = tuple(
+            jax.ShapeDtypeStruct(s, jnp.float32) for s in top_shapes
+        )
+        outs = jax.pure_callback(host_forward, result_shapes, *caffe_in)
+        final = []
+        for o in outs:
+            final.append(layout.to_physical(o) if o.ndim == 4 else o)
+        return tuple(final)
+
+    return _base(
+        ctx, apply,
+        top_nhwc=[len(s) == 4 for s in top_shapes],
+    )

@@ -34,9 +34,7 @@ from . import layers_extra  # noqa: F401  (registers additional layer types)
 
 log = logging.getLogger(__name__)
 
-DATA_LAYER_TYPES = {
-    "Data", "ImageData", "HDF5Data", "MemoryData", "WindowData", "CPMData",
-}
+from .data_layers import DATA_LAYER_TYPES  # noqa: E402
 
 
 def _rule_matches(rule: caffe_pb.View, phase: int, stages: Sequence[str], level: int) -> bool:
@@ -138,16 +136,24 @@ class Net:
                 lv = caffe_pb.view(patched, "LayerParameter")
             self.layer_views.append(lv)
 
-        # Input layers declare shapes too
+        # Input layers declare shapes too; data layers become bound host
+        # sources whose tops are fed as inputs each forward (see
+        # core/data_layers.py for the TPU-first rationale)
+        self.data_layers: List[Any] = []
+        self._data_top_to_layer: Dict[str, Any] = {}
         for lv in self.layer_views:
             if lv.type == "Input":
                 for i, t in enumerate(lv.top):
                     shp = tuple(int(d) for d in lv.input_param.shape[min(i, len(lv.input_param.shape) - 1)].dim)
                     declared[t] = shp
             elif lv.type in DATA_LAYER_TYPES:
-                raise NotImplementedError(
-                    f"data layer {lv.type} must be fed externally; use the training pipeline"
-                )
+                from . import data_layers as DL
+
+                dl = DL.build(lv, phase)
+                self.data_layers.append(dl)
+                for t in dl.tops:
+                    declared[t] = dl.top_shapes[t]
+                    self._data_top_to_layer[t] = dl
 
         if input_shapes:
             for k, v in input_shapes.items():
@@ -166,7 +172,7 @@ class Net:
         self.blob_infos = blob_infos
         rngc = [0]
         for lv in self.layer_views:
-            if lv.type == "Input":
+            if lv.type == "Input" or lv.type in DATA_LAYER_TYPES:
                 continue
             bottoms = []
             for b in lv.bottom:
@@ -351,7 +357,15 @@ class Net:
         inputs = dict(inputs or {})
         inputs.update(kw_inputs)
         phys: Dict[str, jax.Array] = {}
+        pulled: Dict[Any, Dict[str, np.ndarray]] = {}
         for name in self.input_names:
+            if name not in inputs and name in self._data_top_to_layer:
+                # bound data layer: pull the next prefetched batch (one pull
+                # per layer per forward, shared across its tops)
+                dl = self._data_top_to_layer[name]
+                if dl not in pulled:
+                    pulled[dl] = dl.next_batch()
+                inputs[name] = pulled[dl][name]
             if name not in inputs:
                 raise ValueError(f"missing input blob {name!r}")
             arr = jnp.asarray(inputs[name])
@@ -404,6 +418,17 @@ class Net:
                         ds[n:] = arr
                     else:
                         f.create_dataset(b, data=arr, maxshape=(None,) + arr.shape[1:])
+
+    def set_input_arrays(self, data: np.ndarray, labels: Optional[np.ndarray] = None) -> None:
+        """Bind arrays to the net's MemoryData layer (pycaffe
+        Net.set_input_arrays / memory_data_layer.cpp:Reset)."""
+        from .data_layers import MemoryDataLayer
+
+        for dl in self.data_layers:
+            if isinstance(dl, MemoryDataLayer):
+                dl.set_arrays(data, labels)
+                return
+        raise ValueError("net has no MemoryData layer")
 
     def blob_shape(self, name: str) -> Tuple[int, ...]:
         return self.blob_infos[name].shape_caffe

@@ -22,6 +22,30 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
+_generic_libs: dict = {}
+
+
+def load_lib(name: str) -> Optional[ctypes.CDLL]:
+    """Build (if stale) + load native/<name>.cpp as lib<name>.so.  Returns
+    None when the toolchain is unavailable; callers fall back to Python."""
+    with _lock:
+        if name in _generic_libs:
+            return _generic_libs[name]
+        src = os.path.join(_ROOT, "native", f"{name}.cpp")
+        lib_path = os.path.join(_ROOT, "native", f"lib{name}.so")
+        lib = None
+        try:
+            if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", lib_path],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(lib_path)
+        except Exception:
+            lib = None
+        _generic_libs[name] = lib
+        return lib
+
 
 def _build() -> bool:
     try:

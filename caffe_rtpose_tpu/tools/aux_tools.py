@@ -1,8 +1,10 @@
 """Aux dataset tools — analogs of the reference tools/ binaries:
 
-* convert_imageset  (tools/convert_imageset.cpp): image list -> one .h5 pack
-  (replacing the LMDB/LevelDB target with the portable HDF5 container)
-* compute_image_mean (tools/compute_image_mean.cpp): mean BGR over a pack
+* convert_imageset  (tools/convert_imageset.cpp): image list -> a kvdb of
+  Datum records (the native DB behind utils.db, replacing LMDB/LevelDB) or
+  an .h5 pack when the output path ends in .h5/.hdf5
+* compute_image_mean (tools/compute_image_mean.cpp): mean over a pack,
+  written as .binaryproto (BlobProto) like the reference, or .npy
 * extract_features  (tools/extract_features.cpp): dump named blobs to .npz
 """
 
@@ -15,13 +17,13 @@ from typing import List, Optional
 import numpy as np
 
 
-def convert_imageset(listfile: str, root: str, out_h5: str,
+def convert_imageset(listfile: str, root: str, out_path: str,
                      resize_h: int = 0, resize_w: int = 0,
-                     gray: bool = False, shuffle: bool = False, seed: int = 0) -> int:
+                     gray: bool = False, shuffle: bool = False, seed: int = 0,
+                     encoded: bool = False, encode_type: str = "") -> int:
     import os
 
     import cv2
-    import h5py
 
     entries = []
     with open(listfile) as f:
@@ -36,8 +38,17 @@ def convert_imageset(listfile: str, root: str, out_h5: str,
                 entries.append((line, 0))
     if shuffle:
         np.random.RandomState(seed).shuffle(entries)
+    to_h5 = out_path.endswith((".h5", ".hdf5"))
     imgs, labels = [], []
-    for path, label in entries:
+    db = txn = None
+    if not to_h5:
+        from ..proto import datum as datum_io
+        from ..utils.db import open_db
+
+        db = open_db(out_path, "w", backend="kvdb")
+        txn = db.new_transaction()
+    count = 0
+    for idx, (path, label) in enumerate(entries):
         img = cv2.imread(os.path.join(root, path),
                          cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR)
         if img is None:
@@ -47,28 +58,75 @@ def convert_imageset(listfile: str, root: str, out_h5: str,
             img = cv2.resize(img, (resize_w, resize_h))
         if img.ndim == 2:
             img = img[..., None]
-        imgs.append(img.transpose(2, 0, 1))  # CHW, BGR
-        labels.append(label)
-    data = np.stack(imgs).astype(np.uint8)
-    with h5py.File(out_h5, "w") as f:
-        f.create_dataset("data", data=data, compression="gzip")
-        f.create_dataset("label", data=np.asarray(labels, np.int64))
-    print(f"Processed {len(imgs)} files -> {out_h5}")
+        if to_h5:
+            imgs.append(img.transpose(2, 0, 1))  # CHW, BGR
+            labels.append(label)
+        else:
+            d = datum_io.image_to_datum(
+                img, label, encode_type if (encoded or encode_type) else "")
+            # key format matches convert_imageset.cpp:143: %08d_<path>
+            txn.put(f"{idx:08d}_{path}", datum_io.serialize_datum(d))
+            if (count + 1) % 1000 == 0:
+                txn.commit()
+        count += 1
+    if to_h5:
+        import h5py
+
+        data = np.stack(imgs).astype(np.uint8)
+        with h5py.File(out_path, "w") as f:
+            f.create_dataset("data", data=data, compression="gzip")
+            f.create_dataset("label", data=np.asarray(labels, np.int64))
+    else:
+        txn.commit()
+        db.close()
+    print(f"Processed {count} files -> {out_path}")
     return 0
 
 
-def compute_image_mean(h5path: str, out: Optional[str] = None) -> np.ndarray:
-    import h5py
+def compute_image_mean(src: str, out: Optional[str] = None) -> np.ndarray:
+    """Mean image over an .h5 pack or a kvdb of Datum records; writes
+    .binaryproto (BlobProto, like compute_image_mean.cpp) / .npy."""
+    if src.endswith((".h5", ".hdf5")):
+        import h5py
 
-    with h5py.File(h5path, "r") as f:
-        data = f["data"]
-        total = np.zeros(data.shape[1:], np.float64)
-        n = data.shape[0]
-        for i in range(n):
-            total += data[i]
+        with h5py.File(src, "r") as f:
+            data = f["data"]
+            total = np.zeros(data.shape[1:], np.float64)
+            n = data.shape[0]
+            for i in range(n):
+                total += data[i]
+    else:
+        from ..proto import datum as datum_io
+        from ..utils.db import open_db
+
+        with open_db(src, "r") as db:
+            cur = db.new_cursor()
+            cur.seek_to_first()
+            total, n = None, 0
+            while cur.valid():
+                d = datum_io.parse_datum(cur.value())
+                arr = (np.transpose(datum_io.datum_to_image(d), (2, 0, 1))
+                       if d.get("encoded") else datum_io.datum_to_array(d))
+                total = arr.astype(np.float64) if total is None else total + arr
+                n += 1
+                cur.next()
+        if total is None:
+            raise ValueError(f"db {src!r} is empty")
     mean = (total / n).astype(np.float32)
     if out:
-        np.save(out, mean)
+        if out.endswith(".binaryproto"):
+            from ..proto import caffe_pb
+            from ..proto.wire import encode
+
+            msg = {
+                "num": 1, "channels": int(mean.shape[0]),
+                "height": int(mean.shape[1]), "width": int(mean.shape[2]),
+                "data": [float(v) for v in mean.flat],
+            }
+            with open(out, "wb") as f:
+                f.write(encode(msg, caffe_pb.SCHEMA, "BlobProto"))
+        else:
+            np.save(out, mean)
     print("Channel means:", [float(m) for m in mean.reshape(mean.shape[0], -1).mean(1)])
     return mean
 
@@ -99,18 +157,21 @@ def main(argv=None) -> int:
     c = sub.add_parser("convert_imageset")
     c.add_argument("listfile")
     c.add_argument("root")
-    c.add_argument("out_h5")
+    c.add_argument("out_path", help="kvdb path, or .h5/.hdf5 for an HDF5 pack")
     c.add_argument("--resize_height", type=int, default=0)
     c.add_argument("--resize_width", type=int, default=0)
     c.add_argument("--gray", action="store_true")
     c.add_argument("--shuffle", action="store_true")
+    c.add_argument("--encoded", action="store_true")
+    c.add_argument("--encode_type", default="")
     c.set_defaults(fn=lambda a: convert_imageset(
-        a.listfile, a.root, a.out_h5, a.resize_height, a.resize_width, a.gray, a.shuffle))
+        a.listfile, a.root, a.out_path, a.resize_height, a.resize_width,
+        a.gray, a.shuffle, encoded=a.encoded, encode_type=a.encode_type))
 
     m = sub.add_parser("compute_image_mean")
-    m.add_argument("h5path")
-    m.add_argument("--out", default="")
-    m.set_defaults(fn=lambda a: (compute_image_mean(a.h5path, a.out or None), 0)[1])
+    m.add_argument("src", help="kvdb path or .h5 pack")
+    m.add_argument("--out", default="", help=".binaryproto or .npy")
+    m.set_defaults(fn=lambda a: (compute_image_mean(a.src, a.out or None), 0)[1])
 
     e = sub.add_parser("extract_features")
     e.add_argument("--model", required=True)

@@ -23,6 +23,18 @@ import numpy as np
 
 
 def make_data_iter(spec: str, net, batch_hint: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    if getattr(net, "data_layers", None) and spec in ("net", "synthetic-pose"):
+        # the prototxt carries its own data layers (Data/ImageData/HDF5Data/
+        # ...): pull prefetched batches from the bound host sources, exactly
+        # like `caffe train` with an in-graph data layer
+        def it_net():
+            while True:
+                out: Dict[str, np.ndarray] = {}
+                for dl in net.data_layers:
+                    out.update(dl.next_batch())
+                yield out
+
+        return it_net()
     if spec == "synthetic-pose":
         from ..training.datasets import SyntheticPoseSource, pose_batches, prefetch_loader
         from ..training.transformer import AugParams
