@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from . import coord_map  # noqa: F401  (caffe.coord_map parity)
 from .core.net import Net as _CoreNet
 from .ops import layout
 

@@ -148,6 +148,13 @@ class HDF5Source:
                         yield {k: np.asarray(f[k][idx]) for k in self.keys}
 
 
+def _clone_meta(meta: Meta) -> Meta:
+    """Deep copy — the augmentation chain mutates joints in place."""
+    people = [Person(p.joints.copy(), p.visible.copy(), p.objpos.copy())
+              for p in meta.people]
+    return Meta(people=people, scale_self=meta.scale_self)
+
+
 def pose_batches(
     source,
     prm: AugParams,
@@ -162,10 +169,7 @@ def pose_batches(
         datas, labels = [], []
         for _ in range(batch_size):
             img, meta, mask = source[int(rs.randint(n))]
-            # deep-copy meta: transform mutates joints
-            people = [Person(p.joints.copy(), p.visible.copy(), p.objpos.copy())
-                      for p in meta.people]
-            m = Meta(people=people, scale_self=meta.scale_self)
+            m = _clone_meta(meta)  # transform mutates joints
             d, l, _ = transform(img, m, prm, rng=rs, mask_miss=mask, train=train)
             datas.append(d)
             labels.append(l)

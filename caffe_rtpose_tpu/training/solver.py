@@ -207,7 +207,14 @@ class Solver:
         net,
         next_batch: Callable[[int], Dict[str, np.ndarray]],
         test_nets: Optional[List] = None,
+        input_transform: Optional[Callable] = None,
     ):
+        """``input_transform``, when given, is a jittable
+        ``fn(inputs_dict) -> inputs_dict`` fused into the compiled train
+        step before the net applies — used e.g. to rasterize CPM
+        heatmap/PAF labels on device from augmented joint coordinates
+        (training.labels_device) instead of shipping full label tensors
+        from host."""
         if isinstance(solver_param, str):
             from ..proto import prototxt
 
@@ -236,6 +243,12 @@ class Solver:
         self.history = init_history(self.type, net.params)
         self._update = jax.jit(make_update_fn(self.type, self.sp, self.lr_mults, self.decay_mults))
         loss_fn = net.make_loss_fn()
+        if input_transform is not None:
+            base_loss = loss_fn
+
+            def loss_fn(params, inputs, rng):  # noqa: F811
+                return base_loss(params, input_transform(inputs), rng)
+
         self._grad = jax.jit(jax.value_and_grad(loss_fn))
         self.smoothed_losses: List[float] = []
 

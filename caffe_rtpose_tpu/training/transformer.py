@@ -341,19 +341,24 @@ def generate_label_map(meta: Meta, prm: AugParams, mask_miss_grid: Optional[np.n
     return label
 
 
-def transform(
+def transform_meta(
     img_bgr: np.ndarray,
     meta: Meta,
     prm: AugParams,
     rng: Optional[np.random.RandomState] = None,
     mask_miss: Optional[np.ndarray] = None,
     train: bool = True,
-) -> Tuple[np.ndarray, np.ndarray, AugSelection]:
-    """Full Transform_nv: returns (data (3, crop_y, crop_x), label, aug)."""
+    aug: Optional[AugSelection] = None,
+):
+    """Augmentation chain only (scale->rotate->croppad->flip,
+    Transform_nv :1306-1346): returns (data (3, crop_y, crop_x),
+    augmented people, mask_miss grid or None).  Label rasterization is left
+    to the caller — either host :func:`generate_label_map` or the on-device
+    ``training.labels_device`` path."""
     if cv2 is None:
         raise RuntimeError("OpenCV required")
     rng = rng or np.random.RandomState()
-    aug = AugSelection()
+    aug = aug if aug is not None else AugSelection()
     if prm.do_clahe:
         img_bgr = clahe(img_bgr, prm.clahe_tile_size, prm.clahe_clip_limit)
     if train:
@@ -376,5 +381,20 @@ def transform(
         mask_grid = None
     data = (img_bgr.astype(np.float32) - 128.0) / 256.0  # (:1358-1361)
     data = data.transpose(2, 0, 1)
+    return data, meta.people, mask_grid
+
+
+def transform(
+    img_bgr: np.ndarray,
+    meta: Meta,
+    prm: AugParams,
+    rng: Optional[np.random.RandomState] = None,
+    mask_miss: Optional[np.ndarray] = None,
+    train: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, AugSelection]:
+    """Full Transform_nv: returns (data (3, crop_y, crop_x), label, aug)."""
+    aug = AugSelection()
+    data, _, mask_grid = transform_meta(
+        img_bgr, meta, prm, rng=rng, mask_miss=mask_miss, train=train, aug=aug)
     label = generate_label_map(meta, prm, mask_grid)
     return data, label, aug

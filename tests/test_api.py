@@ -105,3 +105,41 @@ def test_draw():
     assert "conv1 (Convolution)" in txt
     dot = caffe.draw_net_dot(net_param)
     assert dot.startswith("digraph") and '"conv1"' in dot
+
+
+class TestCoordMap:
+    def test_vgg_trunk_map(self):
+        """coord_map through the COCO deploy trunk: stride-8 feature coords
+        map back to input pixels (pycaffe coord_map parity)."""
+        from caffe_rtpose_tpu import coord_map as cm
+        from caffe_rtpose_tpu.core.net import Net
+
+        net = Net("/root/reference/model/coco/pose_deploy_linevec.prototxt",
+                  phase="TEST", input_shapes={"image": (1, 3, 80, 128)})
+        a, b = cm.coord_map_from_to(net, "conv4_4_CPM", "image")
+        # three 2x2/2 pools -> a=8; SAME-padded 3x3 convs contribute 0 offset
+        assert a == 8.0
+        assert b == 3.5  # pool centers: 0.5 + 2*0.5 + 4*0.5 per pooling chain
+
+    def test_identity_and_errors(self):
+        from caffe_rtpose_tpu import coord_map as cm
+        from caffe_rtpose_tpu.core.net import Net
+
+        proto = {
+            "name": "t",
+            "input": ["x"],
+            "input_shape": [{"dim": [1, 3, 8, 8]}],
+            "layer": [
+                {"name": "c", "type": "Convolution", "bottom": ["x"], "top": ["y"],
+                 "convolution_param": {"num_output": 2, "kernel_size": [3], "pad": [1]}},
+                {"name": "r", "type": "ReLU", "bottom": ["y"], "top": ["y"]},
+                {"name": "ip", "type": "InnerProduct", "bottom": ["y"], "top": ["z"],
+                 "inner_product_param": {"num_output": 4}},
+            ],
+        }
+        net = Net(proto, phase="TEST")
+        a, b = cm.coord_map_from_to(net, "y", "x")
+        assert (a, b) == (1.0, 0.0)
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            cm.coord_map_from_to(net, "z", "x")  # InnerProduct has no map

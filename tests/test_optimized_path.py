@@ -63,3 +63,28 @@ def test_optimized_estimator_matches_generic():
         na, nb = int(p2[a, 0, 0]), int(p2[b, 0, 0])
         np.testing.assert_allclose(s1[k, :na, :nb], s2[k, :na, :nb], rtol=5e-3, atol=5e-3)
         np.testing.assert_array_equal(c1[k, :na, :nb], c2[k, :na, :nb])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_COCO), reason="reference not mounted")
+def test_pair_cap_and_batch_match_uncapped():
+    """pair_cap truncation is exact when counts <= cap, and the batched
+    program returns per-frame results identical to one-at-a-time."""
+    est_full = PoseEstimator(REF_COCO, net_resolution=(128, 80), seed=7,
+                             input_u8=True)
+    est_fast = PoseEstimator(REF_COCO, net_resolution=(128, 80), seed=7,
+                             input_u8=True, pair_cap=32, batch=2)
+    rs = np.random.RandomState(2)
+    f1 = (rs.rand(1, 80, 128, 3) * 255).astype(np.uint8)
+    f2 = (rs.rand(1, 80, 128, 3) * 255).astype(np.uint8)
+
+    res_full = [est_full.fetch(est_full.run_device(f)) for f in (f1, f2)]
+    pair = est_fast.fetch_batch(
+        est_fast.run_device(np.stack([f1, f2]))
+    )
+    for (pf, sf, cf), (pc, sc, cc) in zip(res_full, pair):
+        counts = pf[:, 0, 0].astype(int)
+        assert counts.max() <= 32, "test assumption: few peaks"
+        np.testing.assert_allclose(pc[:, 1:], pf[:, 1:33], rtol=1e-3, atol=1e-3)
+        np.testing.assert_array_equal(pc[:, 0, 0], pf[:, 0, 0])
+        np.testing.assert_allclose(sc, sf[:, :32, :32], rtol=2e-2, atol=2e-2)
+        np.testing.assert_array_equal(cc, cf[:, :32, :32])
