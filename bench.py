@@ -3,10 +3,12 @@
 
 Measures the full per-frame path on one TPU chip with the production pipeline
 shape (mirroring the reference's producer / GPU-worker / reorder thread
-architecture, rtpose.cpp:1459-1549): a dispatch thread uploads u8 frames and
-launches the fused device program (CNN + part-channel bicubic upsample + NMS
-+ PAF pair scoring in one XLA program); a pool of fetcher threads pulls the
-byte-packed results and runs greedy limb assembly on host.
+architecture, rtpose.cpp:1459-1549): uploader threads feed u8 frames and
+launch the fused device program (CNN + part-channel bicubic upsample + NMS
++ PAF pair scoring in one XLA program, 8 frames per launch to amortize the
+per-call dispatch+fetch round-trips); fetcher threads pull the byte-packed
+results (pair scores capped to the first 32 peaks/part — exact for any
+realistic frame) and run greedy limb assembly per frame on host.
 
 Baseline: the driver-set north star of 30 FPS/chip (BASELINE.md).
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -26,6 +28,11 @@ import numpy as np
 COCO_PROTO = "/root/reference/model/coco/pose_deploy_linevec.prototxt"
 BASELINE_FPS = 30.0
 
+BATCH = 8
+PAIR_CAP = 32
+N_UPLOADERS, N_FETCHERS, DEPTH = 2, 6, 8
+N_FRAMES = 240
+
 
 def main():
     import jax.numpy as jnp
@@ -40,54 +47,61 @@ def main():
         dtype=jnp.bfloat16,
         seed=0,
         input_u8=True,
+        pair_cap=PAIR_CAP,
+        batch=BATCH,
     )
 
     rs = np.random.RandomState(0)
-    frames = [
-        (rs.rand(1, 368, 656, 3) * 255).astype(np.uint8) for _ in range(4)
+    batches = [
+        (rs.rand(BATCH, 1, 368, 656, 3) * 255).astype(np.uint8) for _ in range(3)
     ]
     pc = est.params_connect
     scale_xy = (1280 / 656.0, 720 / 368.0)
 
-    def dispatch(x):
-        return est.run_device(x)
-
     def finish(out):
-        peaks, ps, count = est.fetch(out)
-        return C.assemble_fast(peaks, ps, count, est.descriptor, pc, scale_xy=scale_xy)
+        for peaks, ps, count in est.fetch_batch(out):
+            C.assemble_fast(peaks, ps, count, est.descriptor, pc, scale_xy=scale_xy)
 
-    for i in range(3):  # warmup / compile
-        finish(dispatch(frames[i % len(frames)]))
+    for b in batches:  # warmup / compile
+        finish(est.run_device(b))
 
-    N_FETCHERS, DEPTH, N = 4, 8, 120
+    n_calls = N_FRAMES // BATCH
+    jobs = queue.Queue()
+    for i in range(n_calls):
+        jobs.put(i)
     work = queue.Queue(maxsize=DEPTH)
-    results = [None] * N
+    done = [0]
+    lock = threading.Lock()
 
-    def producer():
-        for i in range(N):
-            work.put((i, dispatch(frames[i % len(frames)])))
-        for _ in range(N_FETCHERS):
-            work.put(None)
+    def uploader():
+        while True:
+            try:
+                i = jobs.get_nowait()
+            except queue.Empty:
+                break
+            work.put(est.run_device(batches[i % len(batches)]))
+        with lock:
+            done[0] += 1
+            if done[0] == N_UPLOADERS:
+                for _ in range(N_FETCHERS):
+                    work.put(None)
 
     def fetcher():
         while True:
             item = work.get()
             if item is None:
                 return
-            i, out = item
-            results[i] = finish(out)
+            finish(item)
 
-    threads = [threading.Thread(target=fetcher) for _ in range(N_FETCHERS)]
+    ups = [threading.Thread(target=uploader) for _ in range(N_UPLOADERS)]
+    fts = [threading.Thread(target=fetcher) for _ in range(N_FETCHERS)]
     t0 = time.perf_counter()
-    prod = threading.Thread(target=producer)
-    prod.start()
-    for t in threads:
+    for t in ups + fts:
         t.start()
-    prod.join()
-    for t in threads:
+    for t in ups + fts:
         t.join()
     dt = time.perf_counter() - t0
-    fps = N / dt
+    fps = n_calls * BATCH / dt
 
     print(json.dumps({
         "metric": "pose_fps_656x368_1scale",

@@ -24,7 +24,9 @@ def _enable_persistent_compilation_cache():
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # only cache expensive programs: tiny CPU executables reload with
+        # noisy machine-feature warnings and save nothing
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
 

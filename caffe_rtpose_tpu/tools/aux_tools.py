@@ -151,6 +151,9 @@ def extract_features(model: str, weights: str, blobs: List[str],
 
 
 def main(argv=None) -> int:
+    from ..utils import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(prog="caffe-aux", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
 

@@ -82,8 +82,23 @@ def cmd_train(args) -> int:
         net_param = net_path
     net = Net(net_param, phase="TRAIN", seed=int(sp.random_seed) if sp.random_seed > 0 else 0)
 
+    mesh = None
+    if getattr(args, "gpu", ""):
+        # `caffe train --gpu=0,1,...|all` (tools/caffe.cpp:76-107,247-253):
+        # data-parallel over the named devices, replacing P2PSync
+        import jax
+
+        from ..parallel.dp import make_mesh
+
+        n = len(jax.devices()) if args.gpu == "all" else len(args.gpu.split(","))
+        if n > 1:
+            mesh = make_mesh(n)
+            print(f"Data-parallel training over {n} devices; the prototxt "
+                  f"batch_size is the GLOBAL batch, sharded {n} ways "
+                  f"(scale it by {n} for Caffe's per-GPU weak-scaling)")
+
     data_iter = make_data_iter(args.data, net)
-    solver = Solver(sp_msg, net, lambda it: next(data_iter))
+    solver = Solver(sp_msg, net, lambda it: next(data_iter), mesh=mesh)
     if args.snapshot:
         solver.restore(args.snapshot)
         print(f"Restored from {args.snapshot} at iter {solver.it}")
@@ -171,6 +186,7 @@ def build_parser():
 
     t = sub.add_parser("train")
     t.add_argument("--solver", required=True)
+    t.add_argument("--gpu", default="", help="'all' or comma-separated device ids: data-parallel over a mesh")
     t.add_argument("--data", default="synthetic-pose")
     t.add_argument("--snapshot", default="", help="resume from .solverstate")
     t.add_argument("--weights", default="", help="finetune from .caffemodel")
@@ -199,6 +215,9 @@ def build_parser():
 
 
 def main(argv=None) -> int:
+    from ..utils import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -229,6 +229,9 @@ def cmd_coco_ap(args) -> int:
 
 
 def main(argv=None) -> int:
+    from ..utils import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(prog="eval_pose", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
 

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     import jax.numpy as jnp
 

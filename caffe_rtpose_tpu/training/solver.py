@@ -208,6 +208,7 @@ class Solver:
         next_batch: Callable[[int], Dict[str, np.ndarray]],
         test_nets: Optional[List] = None,
         input_transform: Optional[Callable] = None,
+        mesh=None,
     ):
         """``input_transform``, when given, is a jittable
         ``fn(inputs_dict) -> inputs_dict`` fused into the compiled train
@@ -249,6 +250,16 @@ class Solver:
             def loss_fn(params, inputs, rng):  # noqa: F811
                 return base_loss(params, input_transform(inputs), rng)
 
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-device data parallel, replacing P2PSync (parallel.cpp):
+            # params/history replicated, batch sharded on its leading axis;
+            # XLA inserts the gradient all-reduce over ICI from the
+            # sharding annotations (see parallel/dp.py)
+            from ..parallel.dp import replicate
+
+            self.net.params = replicate(mesh, self.net.params)
+            self.history = replicate(mesh, self.history)
         self._grad = jax.jit(jax.value_and_grad(loss_fn))
         self.smoothed_losses: List[float] = []
 
@@ -270,6 +281,10 @@ class Solver:
                     if info is not None and info.nhwc and arr.ndim == 4:
                         arr = lay.to_physical(arr)
                     inputs[k] = arr
+                if self.mesh is not None:
+                    from ..parallel.dp import shard_batch
+
+                    inputs = shard_batch(self.mesh, inputs)
                 loss, grads = self._grad(self.net.params, inputs, jax.random.PRNGKey(self.it))
                 total_loss = loss if total_loss is None else total_loss + loss
                 grads_acc = (
