@@ -132,6 +132,12 @@ class Net:
             self.blobs[name].data = np.asarray(arr)
         return {k: out[k] for k in want}
 
+    def forward_dict(self, inputs: Dict[str, np.ndarray],
+                     blobs: Optional[Sequence[str]] = None) -> Dict[str, np.ndarray]:
+        """forward() taking a plain dict — used by the MATLAB bridge
+        (matlab/+caffe/Net.m), where **kwargs cannot be expressed."""
+        return self.forward(blobs=blobs, **{str(k): np.asarray(v) for k, v in inputs.items()})
+
     def backward(self, **top_diffs) -> Dict[str, np.ndarray]:
         """Gradients of sum(top * top_diff) wrt graph inputs and params;
         fills .blobs[input].diff and .params[*][i].diff."""
@@ -426,8 +432,16 @@ def SGDSolver(solver_file: str, data_fn=None):
     net_src = sp.net if sp.has("net") else sp.train_net
     net = _CoreNet(net_src, phase=TRAIN)
     if data_fn is None:
-        def data_fn(it):
-            raise RuntimeError("provide data_fn to feed the net inputs")
+        if net.data_layers:
+            # the prototxt carries its own data layers: self-feed like caffe
+            def data_fn(it):
+                out = {}
+                for dl in net.data_layers:
+                    out.update(dl.next_batch())
+                return out
+        else:
+            def data_fn(it):
+                raise RuntimeError("provide data_fn to feed the net inputs")
     return Solver(msg, net, data_fn)
 
 

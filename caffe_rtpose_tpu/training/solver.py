@@ -307,6 +307,17 @@ class Solver:
         return loss_val
 
     @property
+    def iter(self) -> int:
+        """pycaffe/matcaffe alias for the iteration counter."""
+        return self.it
+
+    def solve(self) -> None:
+        """Run to max_iter (Solver::Solve, solver.cpp:279)."""
+        max_iter = int(self.sp.max_iter) if self.sp.has("max_iter") else 0
+        while self.it < max_iter:
+            self.step(1)
+
+    @property
     def smoothed_loss(self) -> float:
         return float(np.mean(self.smoothed_losses)) if self.smoothed_losses else float("nan")
 
