@@ -31,7 +31,7 @@ import numpy as np
 
 from ..pose import connect as C
 from ..pose.estimator import PoseEstimator
-from ..pose.preprocess import make_net_input_u8, warp_to_display
+from ..pose.preprocess import make_net_input, make_net_input_u8, warp_to_display
 from .queues import BlockingQueue, OrderedBuffer
 
 try:
@@ -53,6 +53,7 @@ class Frame:
     net_input: Optional[np.ndarray] = None  # (S, net_h, net_w, 3) u8
     joints: Optional[np.ndarray] = None  # (people, parts, 3) display coords
     num_people: int = 0
+    heatmap: Optional[np.ndarray] = None  # (C, H, W) resized maps (part view)
     # pipeline timestamps (frame.h:10-17)
     commit_time: float = 0.0
     preprocessed_time: float = 0.0
@@ -90,6 +91,84 @@ class PipelineConfig:
     queue_depth: int = 8
 
 
+@dataclass
+class UIState:
+    """Runtime-tunable demo state (reference ``global.uistate`` +
+    threshold globals; accessed unlocked there too, rtpose.cpp:319,441)."""
+
+    quit: bool = False
+    paused: bool = False
+    fullscreen: bool = False
+    googly_eyes: bool = False
+    part_to_show: int = 0
+    is_shift_down: bool = False
+    current_frame: int = 0
+    seek_to_frame: bool = False
+    nms_threshold: float = 0.05
+    inter_threshold: float = 0.05
+    min_subset_score: float = 0.4
+    min_subset_cnt: int = 3
+    inter_min_above_threshold: int = 9
+
+
+KEY2PART = "0123456789qwertyuiopas"
+
+
+def handle_key(ui: UIState, c: int, has_video: bool) -> bool:
+    """Keyboard UI (handleKey, rtpose.cpp:1551-1671).  Returns False on
+    quit (ESC)."""
+    if c >= 65505:  # shift modifier scan codes
+        ui.is_shift_down = True
+        c = ord(chr(c & 0xFF).lower())
+    else:
+        ui.is_shift_down = False
+    ch = chr(c) if 0 <= c < 256 else ""
+    if c == 27:  # ESC
+        ui.quit = True
+        return False
+    if ch == "g":
+        ui.googly_eyes = not ui.googly_eyes
+    if ch in ("l", "k", " "):
+        if has_video and ch in ("l", "k"):
+            delta = 2 if ui.is_shift_down else 30
+            ui.current_frame += delta if ch == "l" else -delta
+            ui.seek_to_frame = True
+        if ch == " ":
+            ui.paused = not ui.paused
+    if ch == "f":
+        ui.fullscreen = not ui.fullscreen
+    ind = KEY2PART.find(ch) if ch else -1
+    if 0 <= ind <= 42:
+        ui.part_to_show = ind
+    if ch == "-":
+        ui.nms_threshold -= 0.005
+    if ch == "=":
+        ui.nms_threshold += 0.005
+    if ch == "_":
+        ui.min_subset_score -= 0.005
+    if ch == "+":
+        ui.min_subset_score += 0.005
+    if ch == "[":
+        ui.inter_threshold -= 0.005
+    if ch == "]":
+        ui.inter_threshold += 0.005
+    if ch == "{":
+        ui.inter_min_above_threshold -= 1
+    if ch == "}":
+        ui.inter_min_above_threshold += 1
+    if ch == ";":
+        ui.min_subset_cnt -= 1
+    if ch == "'":
+        ui.min_subset_cnt += 1
+    if ch in (",", "."):
+        ui.part_to_show += 1 if ch == "." else -1
+        if ui.part_to_show < 0:
+            ui.part_to_show = 42
+        if ui.part_to_show > 55:
+            ui.part_to_show = 0
+    return True
+
+
 def list_image_dir(path: str) -> List[str]:
     """Sorted jpg/png/bmp listing (readImageDirIfFlagEnabled, rtpose.cpp:1737)."""
     files = [
@@ -99,8 +178,9 @@ def list_image_dir(path: str) -> List[str]:
     return sorted(files)
 
 
-def frame_source(cfg: PipelineConfig) -> Iterator[Tuple[int, np.ndarray, Optional[str]]]:
-    """Yields (video_frame_number, bgr_frame, source_path)."""
+def frame_source(cfg: PipelineConfig, ui: Optional[UIState] = None) -> Iterator[Tuple[int, np.ndarray, Optional[str]]]:
+    """Yields (video_frame_number, bgr_frame, source_path).  When a UIState
+    is given, honors pause and l/k seeking (getFrameFromCam, rtpose.cpp:431-461)."""
     if cfg.image_dir:
         for i, p in enumerate(list_image_dir(cfg.image_dir)):
             img = cv2.imread(p, cv2.IMREAD_COLOR)
@@ -118,11 +198,22 @@ def frame_source(cfg: PipelineConfig) -> Iterator[Tuple[int, np.ndarray, Optiona
         cap.set(cv2.CAP_PROP_POS_FRAMES, cfg.start_frame)
     idx = cfg.start_frame
     while True:
+        if ui is not None:
+            if ui.quit:
+                break
+            if cfg.video and ui.seek_to_frame:
+                idx = max(0, ui.current_frame)
+                cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+                ui.seek_to_frame = False
+            while ui.paused and not ui.quit:
+                time.sleep(0.05)
         ok, img = cap.read()
         if not ok:
             break
         yield idx, img, None
         idx += 1
+        if ui is not None:
+            ui.current_frame = idx
     cap.release()
 
 
@@ -170,6 +261,17 @@ class RtPosePipeline:
         self.stats: List[Dict[str, float]] = []
         self.processed = 0
         self._renderer = None
+        self._win_fullscreen = False
+        pc = estimator.params_connect
+        self.ui = UIState(
+            part_to_show=cfg.part_to_show,
+            fullscreen=cfg.fullscreen,
+            nms_threshold=pc.nms_threshold,
+            inter_threshold=pc.inter_threshold,
+            min_subset_score=pc.min_subset_score,
+            min_subset_cnt=pc.min_subset_cnt,
+            inter_min_above_threshold=pc.inter_min_above_threshold,
+        )
         for d in (cfg.write_frames, cfg.write_json):
             if d and not os.path.isdir(d):
                 os.makedirs(d, exist_ok=True)
@@ -180,13 +282,14 @@ class RtPosePipeline:
         cfg = self.cfg
         dw, dh = cfg.resolution
         count = 0
-        for vfn, img, path in frame_source(cfg):
+        for vfn, img, path in frame_source(cfg, self.ui):
             if self.quit.is_set():
                 break
             if cfg.frame_limit is not None and count >= cfg.frame_limit:
                 break
             display, scale = warp_to_display(img, dw, dh)
-            net_in = make_net_input_u8(
+            make = make_net_input_u8 if self.est.input_u8 else make_net_input
+            net_in = make(
                 display, cfg.net_resolution[0], cfg.net_resolution[1],
                 cfg.num_scales, cfg.start_scale, cfg.scale_gap,
             )
@@ -212,12 +315,19 @@ class RtPosePipeline:
             if not cfg.no_frame_drops and time.time() - f.commit_time > 0.1:
                 reorder.push_dropped(f.index)
                 continue
-            out = self.pool.run_device(f.net_input)
+            # per-frame threshold injection (NmsLayer::SetThreshold +
+            # connect globals, rtpose.cpp:1145 + handleKey tuning)
+            out = self.pool.run_device(
+                f.net_input,
+                nms_threshold=self.ui.nms_threshold,
+                inter_threshold=self.ui.inter_threshold,
+            )
             inflight_q.put((f, out))
 
     def _fetcher(self, inflight_q: BlockingQueue, output_q: BlockingQueue):
+        import dataclasses
+
         est = self.est
-        pc = est.params_connect
         dw, dh = self.cfg.resolution
         scale_xy = (dw / float(est.net_w), dh / float(est.net_h))
         while True:
@@ -226,10 +336,22 @@ class RtPosePipeline:
                 output_q.put(None)
                 return
             f, out = item
+            ui = self.ui
+            pc = dataclasses.replace(
+                est.params_connect,
+                inter_threshold=ui.inter_threshold,
+                min_subset_score=ui.min_subset_score,
+                min_subset_cnt=ui.min_subset_cnt,
+                inter_min_above_threshold=ui.inter_min_above_threshold,
+            )
             peaks, ps, cnt = est.fetch(out)
             res = C.assemble_fast(peaks, ps, cnt, est.descriptor, pc, scale_xy)
             f.joints = res.joints
             f.num_people = res.num_people
+            if est.keep_heatmap and isinstance(out, dict) and "heatmap" in out:
+                import jax as _jax
+
+                f.heatmap = np.asarray(_jax.device_get(out["heatmap"]))
             f.gpu_fetched_time = f.postprocessed_time = time.time()
             output_q.put(f)
 
@@ -269,8 +391,24 @@ class RtPosePipeline:
             write_json_file(os.path.join(cfg.write_json, name), f.joints,
                             f.num_people, f.scale, self.est.num_parts)
         if not cfg.no_display:
-            cv2.imshow("caffe_rtpose_tpu", canvas)
-            cv2.waitKey(1)
+            win = "caffe_rtpose_tpu"
+            if self.ui.fullscreen != self._win_fullscreen:
+                cv2.namedWindow(win, cv2.WINDOW_NORMAL)
+                cv2.setWindowProperty(
+                    win, cv2.WND_PROP_FULLSCREEN,
+                    cv2.WINDOW_FULLSCREEN if self.ui.fullscreen else cv2.WINDOW_NORMAL)
+                if not self.ui.fullscreen:
+                    cv2.resizeWindow(win, *cfg.resolution)
+                self._win_fullscreen = self.ui.fullscreen
+            cv2.imshow(win, canvas)
+            c = cv2.waitKey(1)
+            if c >= 0 and not handle_key(self.ui, c, bool(cfg.video)):
+                self.quit.set()
+            while self.ui.paused and not self.ui.quit and not cfg.video:
+                # image/camera pause loop; video pause is handled at the source
+                c = cv2.waitKey(50)
+                if c >= 0 and not handle_key(self.ui, c, bool(cfg.video)):
+                    self.quit.set()
         f.displayed_time = time.time()
         self.processed += 1
         self.stats.append({
@@ -302,8 +440,46 @@ class RtPosePipeline:
         if n:
             poses[:n] = f.joints[:n]
         canvas = jnp.asarray(f.display.astype(np.float32))
-        out = self._renderer(canvas, jnp.asarray(poses), n)
-        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        p2s = self.ui.part_to_show
+        if p2s > 0 and f.heatmap is not None:
+            # heatmap views (render_pose_*_heatmap/affinity semantics):
+            # 1..P+1 single part/bkg channel, P+2 all parts, beyond: PAFs
+            import jax.numpy as _jnp
+
+            from ..pose.render import render_all_parts, render_heatmap, render_paf
+
+            P = self.est.num_parts
+            maps = _jnp.asarray(f.heatmap)
+            if p2s <= P + 1:
+                out = render_heatmap(canvas, maps, p2s - 1, num_parts=P)
+            elif p2s == P + 2:
+                out = render_all_parts(canvas, maps, num_parts=P)
+            else:
+                paf_idx = P + 1 + 2 * (p2s - P - 3)
+                out = render_paf(canvas, maps, paf_idx)
+        else:
+            out = self._renderer(canvas, jnp.asarray(poses), n)
+        img = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        if self.ui.googly_eyes and n:
+            img = self._googly(img, poses[:n])
+        return img
+
+    @staticmethod
+    def _googly(img: np.ndarray, poses: np.ndarray) -> np.ndarray:
+        """Googly-eye overlay on the eye keypoints (COCO parts 14/15;
+        reference renderFunctions.cu googly mode)."""
+        img = np.ascontiguousarray(img)
+        for person in poses:
+            for pid in (14, 15):
+                if pid >= person.shape[0]:
+                    continue
+                x, y, conf = person[pid]
+                if conf <= 0.01:
+                    continue
+                r = max(6, int(0.02 * img.shape[0]))
+                cv2.circle(img, (int(x), int(y)), r, (255, 255, 255), -1)
+                cv2.circle(img, (int(x), int(y) + r // 3), max(2, r // 2), (0, 0, 0), -1)
+        return img
 
     def _report(self):
         window = self.stats[-30:]
@@ -320,6 +496,19 @@ class RtPosePipeline:
 
     def run(self) -> int:
         cfg = self.cfg
+        # warm up (compile) before any frame enters the pipeline, like the
+        # reference's warmup() dry-run Forward (rtpose.cpp:233-236) —
+        # otherwise the first compile trips the 0.1 s drop policy
+        shape = ((cfg.num_scales, cfg.net_resolution[1], cfg.net_resolution[0], 3)
+                 if self.est.input_u8
+                 else (cfg.num_scales, 3, cfg.net_resolution[1], cfg.net_resolution[0]))
+        dummy = (np.zeros(shape, np.uint8) if self.est.input_u8
+                 else np.zeros(shape, np.float32))
+        if cfg.num_devices > 1:
+            for i in range(cfg.num_devices):
+                self.est.fetch(self.pool.run_device(dummy, device_index=i))
+        else:
+            self.est.fetch(self.pool.run_device(dummy))
         input_q = BlockingQueue(maxsize=10)  # backpressure (rtpose.cpp:424-430)
         inflight_q = BlockingQueue(maxsize=cfg.queue_depth)
         output_q = BlockingQueue()

@@ -85,7 +85,11 @@ def main(argv=None) -> int:
         start_scale=args.start_scale,
         scale_gap=args.scale_gap,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        input_u8=True,
+        # part/PAF heatmap views (--part_to_show > 0 or the 0-9qwe..s keys)
+        # need the full-res maps on host; that disables the packed fast path,
+        # so only request them when the run starts in a heatmap view
+        keep_heatmap=args.part_to_show > 0,
+        input_u8=args.part_to_show == 0,
     )
     cfg = PipelineConfig(
         video=args.video, camera=args.camera, image_dir=args.image_dir,
