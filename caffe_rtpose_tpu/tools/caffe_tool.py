@@ -158,8 +158,19 @@ def cmd_time(args) -> int:
         name: rs.rand(*net.blob_infos[name].shape_caffe).astype(np.float32)
         for name in net.input_names
     }
-    results = time_net(net, inputs, iterations=args.iterations,
-                       backward=args.phase == "TRAIN")
+    if getattr(args, "trace_dir", ""):
+        # XLA-level tracing (the jax profiler is the TPU-native counterpart
+        # to `caffe time`'s cudaEvent breakdown; view with tensorboard or
+        # xprof)
+        import jax
+
+        with jax.profiler.trace(args.trace_dir):
+            results = time_net(net, inputs, iterations=args.iterations,
+                               backward=args.phase == "TRAIN")
+        print(f"Profiler trace written to {args.trace_dir}")
+    else:
+        results = time_net(net, inputs, iterations=args.iterations,
+                           backward=args.phase == "TRAIN")
     print_timing(results)
     return 0
 
@@ -207,6 +218,7 @@ def build_parser():
     ti.add_argument("--model", required=True)
     ti.add_argument("--iterations", type=int, default=10)
     ti.add_argument("--phase", default="TEST", choices=["TRAIN", "TEST"])
+    ti.add_argument("--trace_dir", default="", help="write a jax profiler trace here")
     ti.set_defaults(fn=cmd_time)
 
     d = sub.add_parser("device_query")
