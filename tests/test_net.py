@@ -175,3 +175,28 @@ def test_nms_knob_threshold():
     assert out_default[0, 0, 0, 0] == 0  # below static threshold 0.9
     out_knob = net.forward(h=h, knobs={"nms_threshold": 0.3})["j"]
     assert out_knob[0, 0, 0, 0] == 1
+
+
+class TestAllShippedPrototxtsBuild:
+    """Every deploy prototxt the reference ships must build and shape-infer
+    (SURVEY.md section 2d model inventory: COCO, MPI + variants, orp)."""
+
+    def test_every_reference_deploy_builds(self):
+        import glob as _glob
+        import os as _os
+
+        import pytest as _pytest
+
+        from caffe_rtpose_tpu.core.net import Net
+
+        protos = sorted(_glob.glob("/root/reference/model/**/pose_deploy*.prototxt",
+                                   recursive=True))
+        if not protos:
+            _pytest.skip("reference not mounted")
+        built = 0
+        for p in protos:
+            net = Net(p, phase="TEST",
+                      input_shapes={"image": (1, 3, 64, 64)})
+            assert net.impls, p
+            built += 1
+        assert built == len(protos)

@@ -157,3 +157,40 @@ def test_nms_traced_threshold():
     got_lo = np.asarray(nms_peaks(jnp.asarray(heat), jnp.float32(0.1), 4))
     assert got_hi[0, 0, 0] == 1
     assert got_lo[0, 0, 0] == 2
+
+
+class TestCpmLegacy:
+    """Crop-around-peak helpers (cpm/util/math_functions.cu)."""
+
+    def test_fill_gaussian_matches_kernel_math(self):
+        import numpy as np
+
+        from caffe_rtpose_tpu.ops.cpm_legacy import fill_gaussian
+
+        box, sigma = 16, 5.0
+        g = np.asarray(fill_gaussian(box, sigma))
+        c = box / 2
+        for y in (0, 7, 8, 15):
+            for x in (0, 7, 8, 15):
+                d2 = (x - c) ** 2 + (y - c) ** 2
+                e = d2 / 2.0 / sigma / sigma
+                want = 0.0 if e > 4.6052 else np.exp(-e)
+                assert abs(g[y, x] - want) < 1e-6
+
+    def test_fill_pose_net_crops_and_pads(self):
+        import numpy as np
+
+        from caffe_rtpose_tpu.ops.cpm_legacy import fill_pose_net
+
+        rs = np.random.RandomState(0)
+        img = rs.rand(3, 20, 24).astype(np.float32)
+        centers = np.array([[12.0, 10.0], [0.0, 0.0]], np.float32)
+        out = np.asarray(fill_pose_net(img, centers, boxsize=8, sigma=21.0))
+        assert out.shape == (2, 4, 8, 8)
+        # person 0 fully inside: straight crop
+        np.testing.assert_allclose(out[0, :3], img[:, 6:14, 8:16], rtol=1e-6)
+        # person 1 at the corner: out-of-image region zero-padded
+        assert (out[1, :3, :4, :4] == 0).all()
+        np.testing.assert_allclose(out[1, :3, 4:, 4:], img[:, :4, :4], rtol=1e-6)
+        # gaussian channel identical across people
+        np.testing.assert_allclose(out[0, 3], out[1, 3], rtol=1e-6)
