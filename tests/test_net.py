@@ -200,3 +200,55 @@ class TestAllShippedPrototxtsBuild:
             assert net.impls, p
             built += 1
         assert built == len(protos)
+
+
+class TestInsertSplits:
+    def test_fanout_rewired_through_split(self):
+        from caffe_rtpose_tpu.core.insert_splits import insert_splits
+        from caffe_rtpose_tpu.core.net import Net
+
+        proto = {
+            "name": "fan",
+            "input": ["x"],
+            "input_shape": [{"dim": [1, 4]}],
+            "layer": [
+                {"name": "a", "type": "ReLU", "bottom": ["x"], "top": ["h"]},
+                {"name": "u", "type": "AbsVal", "bottom": ["h"], "top": ["u"]},
+                {"name": "v", "type": "TanH", "bottom": ["h"], "top": ["v"]},
+                {"name": "e", "type": "Eltwise", "bottom": ["u", "v"], "top": ["o"]},
+            ],
+        }
+        sp = insert_splits(proto)
+        types = [l["type"] for l in sp["layer"]]
+        assert types == ["ReLU", "Split", "AbsVal", "TanH", "Eltwise"]
+        split = sp["layer"][1]
+        # reference naming: <blob>_<layer>_<topidx>_split[_k]
+        assert split["name"] == "h_a_0_split"
+        assert split["top"] == ["h_a_0_split_0", "h_a_0_split_1"]
+        assert sp["layer"][2]["bottom"] == ["h_a_0_split_0"]
+        assert sp["layer"][3]["bottom"] == ["h_a_0_split_1"]
+        # the rewritten net still builds and runs identically
+        import numpy as np
+
+        x = np.random.RandomState(0).randn(1, 4).astype(np.float32)
+        y1 = Net(proto, phase="TEST").forward({"x": x})["o"]
+        y2 = Net(sp, phase="TEST").forward({"x": x})["o"]
+        np.testing.assert_allclose(y1, y2, rtol=1e-6)
+
+    def test_loss_weight_moves_to_split(self):
+        from caffe_rtpose_tpu.core.insert_splits import insert_splits
+
+        proto = {
+            "name": "lw",
+            "input": ["x"],
+            "input_shape": [{"dim": [1, 4]}],
+            "layer": [
+                {"name": "a", "type": "ReLU", "bottom": ["x"], "top": ["h"],
+                 "loss_weight": [2.5]},
+                {"name": "u", "type": "AbsVal", "bottom": ["h"], "top": ["u"]},
+            ],
+        }
+        sp = insert_splits(proto)
+        split = next(l for l in sp["layer"] if l["type"] == "Split")
+        assert split["loss_weight"] == [2.5, 0.0]
+        assert "loss_weight" not in sp["layer"][0]
