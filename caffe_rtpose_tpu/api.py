@@ -56,6 +56,7 @@ class Net:
     def __init__(self, prototxt: str, weights: Optional[str] = None, phase: str = TEST, **kw):
         if weights in (TRAIN, TEST):  # Net(proto, phase) signature
             phase, weights = weights, None
+        self._proto, self._phase, self._kw = prototxt, phase, dict(kw)
         self._net = _CoreNet(prototxt, phase=phase, **kw)
         self.blobs: "OrderedDict[str, _Blob]" = OrderedDict()
         for name, info in self._net.blob_infos.items():
@@ -96,6 +97,33 @@ class Net:
     def set_input_arrays(self, data: np.ndarray, labels: Optional[np.ndarray] = None) -> None:
         """Bind arrays to the MemoryData layer (pycaffe Net.set_input_arrays)."""
         self._net.set_input_arrays(data, labels)
+
+    def reshape(self) -> None:
+        """Apply user edits of input blob shapes (pycaffe pattern:
+        ``net.blobs['data'].reshape(...); net.reshape()``).  Under XLA a new
+        input shape means a new compiled program, so the graph is rebuilt
+        with the current weights carried over by name."""
+        shapes = {n: tuple(self.blobs[n].shape) for n in self.inputs}
+        old = self._net
+        if all(shapes[n] == old.blob_infos[n].shape_caffe for n in shapes):
+            return
+        kw = dict(self._kw)
+        kw["input_shapes"] = {**kw.get("input_shapes", {}), **shapes}
+        self._push_params()
+        weights = {
+            name: [np.asarray(b.data, np.float32).reshape(-1) for b in blobs]
+            for name, blobs in self.params.items()
+        }
+        self._net = _CoreNet(self._proto, phase=self._phase, **kw)
+        self._net.load_weights(weights)
+        saved = {n: b for n, b in self.blobs.items()}
+        self.blobs.clear()
+        for name, info in self._net.blob_infos.items():
+            b = saved.get(name) or _Blob(info.shape_caffe)
+            if name not in shapes and b.shape != info.shape_caffe:
+                b.reshape(*info.shape_caffe)
+            self.blobs[name] = b
+        self._refresh_params()
 
     def _refresh_params(self) -> None:
         for name, blobs in self.params.items():

@@ -414,15 +414,45 @@ def build_python(ctx: BuildCtx) -> LayerImpl:
             inst.forward(caffe_bots, caffe_tops)
             return tuple(np.asarray(t.data, np.float32) for t in caffe_tops)
 
+    def host_backward(bot_arrays, top_diffs):
+        """Re-run forward for state, then the user's backward protocol
+        (python_layer.hpp: backward(top, propagate_down, bottom) fills
+        bottom[i].diff)."""
+        with lock:
+            for blob, arr in zip(caffe_bots, bot_arrays):
+                blob.data = np.asarray(arr, np.float32)
+            inst.forward(caffe_bots, caffe_tops)
+            for blob, d in zip(caffe_tops, top_diffs):
+                blob.diff = np.asarray(d, np.float32)
+            if hasattr(inst, "backward"):
+                inst.backward(caffe_tops, [True] * len(caffe_bots), caffe_bots)
+                return tuple(np.asarray(b.diff, np.float32) for b in caffe_bots)
+            return tuple(np.zeros_like(b.data) for b in caffe_bots)
+
+    @jax.custom_vjp
+    def py_call(*caffe_in):
+        result_shapes = tuple(
+            jax.ShapeDtypeStruct(s, jnp.float32) for s in top_shapes
+        )
+        return jax.pure_callback(host_forward, result_shapes, *caffe_in)
+
+    def py_call_fwd(*caffe_in):
+        return py_call(*caffe_in), caffe_in
+
+    def py_call_bwd(caffe_in, top_diffs):
+        diff_shapes = tuple(
+            jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in caffe_in
+        )
+        return jax.pure_callback(host_backward, diff_shapes, caffe_in, top_diffs)
+
+    py_call.defvjp(py_call_fwd, py_call_bwd)
+
     def apply(p, bots, rng, training, knobs=None):
         caffe_in = []
         for b, is_nhwc in zip(bots, bot_nhwc):
             caffe_in.append(layout.to_caffe(b) if (is_nhwc and b.ndim == 4) else b)
         caffe_in = [b.astype(jnp.float32) for b in caffe_in]
-        result_shapes = tuple(
-            jax.ShapeDtypeStruct(s, jnp.float32) for s in top_shapes
-        )
-        outs = jax.pure_callback(host_forward, result_shapes, *caffe_in)
+        outs = py_call(*caffe_in)
         final = []
         for o in outs:
             final.append(layout.to_physical(o) if o.ndim == 4 else o)

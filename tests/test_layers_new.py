@@ -86,3 +86,71 @@ class TestPythonLayer:
         x = np.random.RandomState(0).randn(2, 3, 4, 4).astype(np.float32)
         y = net.forward({"x": x})["y"]
         np.testing.assert_allclose(y, np.maximum(x * 3.0, 0.0), rtol=1e-5, atol=1e-5)
+
+
+class ScaleWithGrad:
+    """Python layer with a backward (python_layer protocol)."""
+
+    def setup(self, bottom, top):
+        self.k = 2.5
+
+    def reshape(self, bottom, top):
+        top[0].reshape(*bottom[0].data.shape)
+
+    def forward(self, bottom, top):
+        top[0].data[...] = bottom[0].data * self.k
+
+    def backward(self, top, propagate_down, bottom):
+        bottom[0].diff[...] = top[0].diff * self.k
+
+
+class TestPythonLayerBackward:
+    def test_gradient_flows_through_host_layer(self):
+        import jax
+        import jax.numpy as jnp
+
+        from caffe_rtpose_tpu.core.net import Net
+
+        proto = {
+            "name": "pyg",
+            "input": ["x"],
+            "input_shape": [{"dim": [2, 3]}],
+            "layer": [
+                {"name": "pyl", "type": "Python", "bottom": ["x"], "top": ["y"],
+                 "python_param": {"module": "tests.test_layers_new",
+                                  "layer": "ScaleWithGrad"}},
+                {"name": "red", "type": "Reduction", "bottom": ["y"], "top": ["s"],
+                 "loss_weight": [1.0]},
+            ],
+        }
+        net = Net(proto, phase="TRAIN")
+        loss_fn = net.make_loss_fn()
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 3), jnp.float32)
+        g = jax.grad(lambda xx: loss_fn(net.params, {"x": xx}, jax.random.PRNGKey(0)))(x)
+        # d/dx sum(2.5 x) = 2.5
+        np.testing.assert_allclose(np.asarray(g), 2.5, rtol=1e-6)
+
+
+class TestApiReshape:
+    def test_net_reshape_rebuilds_with_weights(self):
+        from caffe_rtpose_tpu import api as caffe
+
+        import tempfile, os
+        proto = tempfile.NamedTemporaryFile("w", suffix=".prototxt", delete=False)
+        proto.write(
+            'name: "r"\ninput: "data"\ninput_shape { dim: 1 dim: 3 dim: 8 dim: 8 }\n'
+            'layer { name: "c" type: "Convolution" bottom: "data" top: "y"\n'
+            '  convolution_param { num_output: 2 kernel_size: 3 pad: 1\n'
+            '    weight_filler { type: "gaussian" std: 1.0 } } }\n'
+        )
+        proto.close()
+        net = caffe.Net(proto.name, caffe.TEST)
+        w_before = net.params["c"][0].data.copy()
+        net.blobs["data"].reshape(2, 3, 12, 12)
+        net.reshape()
+        assert net.blobs["y"].shape == (2, 2, 12, 12)
+        np.testing.assert_allclose(net.params["c"][0].data, w_before, rtol=1e-6)
+        x = np.random.RandomState(0).randn(2, 3, 12, 12).astype(np.float32)
+        out = net.forward(data=x)
+        assert out["y"].shape == (2, 2, 12, 12)
+        os.unlink(proto.name)
