@@ -62,23 +62,30 @@ def nms_peaks(
     NmsLayer::SetThreshold, rtpose.cpp:1145).
     """
     c, h, w = heat.shape
-    hw = h * w
     heatf = heat.astype(jnp.float32)
     mask = find_peaks_mask(heatf, threshold)  # (C, H, W)
-
-    mask_flat = mask.reshape(c, hw)
-    counts = jnp.sum(mask_flat, axis=1).astype(jnp.int32)  # uncapped
 
     # Raster-order compaction via top_k over key = (hw - pos) for masked
     # pixels.  TPU top_k is a full sort, so first reduce 4x: two strict local
     # maxima can never share a 2x2 block (they would be 8-neighbors), hence a
     # 2x2 block-max of the keys preserves every peak.
-    pos2d = jnp.arange(hw, dtype=jnp.int32).reshape(h, w)
-    key = jnp.where(mask, hw - pos2d, 0)  # (C, H, W)
+    pos2d = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    key = jnp.where(mask, h * w - pos2d, 0)  # (C, H, W)
     # odd trailing row/col are borders (never peaks), safe to drop
     h2, w2 = h - (h % 2), w - (w % 2)
     kb = key[:, :h2, :w2].reshape(c, h2 // 2, 2, w2 // 2, 2).max(axis=(2, 4))
+    return peaks_from_keys(heatf, kb, max_peaks)
+
+
+def peaks_from_keys(heatf: jax.Array, kb: jax.Array, max_peaks: int) -> jax.Array:
+    """Compaction + refinement half of the NMS: ``kb`` is the 2x2 block-max
+    of the raster keys (from :func:`nms_peaks` or the fused Pallas kernel
+    ops/nms_pallas.upsample_peak_keys)."""
+    c, h, w = heatf.shape
+    hw = h * w
     kb = kb.reshape(c, -1)
+    counts = jnp.sum(kb > 0, axis=1).astype(jnp.int32)  # uncapped; one
+    # nonzero block per peak (two strict maxima never share a 2x2 block)
     topk = min(max_peaks, hw)
     kvals, _ = jax.lax.top_k(kb, topk)  # descending key = ascending pos
     valid = kvals > 0  # rank < count

@@ -11,6 +11,7 @@ integrals) into a single device program with one small D2H transfer
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -57,6 +58,7 @@ class PoseEstimator:
         input_u8: bool = False,
         pair_cap: Optional[int] = None,
         batch: int = 1,
+        use_pallas: Optional[bool] = None,
     ):
         """``pair_cap``: transfer pair scores only for the first K peaks per
         part (raster order — identical to the reference for frames with
@@ -77,6 +79,12 @@ class PoseEstimator:
         self.input_u8 = input_u8 and not keep_heatmap
         self.batch = int(batch)
         self._pair_cap = pair_cap
+        if use_pallas is None:
+            # the fused kernel (ops/nms_pallas.py) is bit-exact vs the XLA
+            # chain but measured ~3 ms/frame slower on v5e (XLA's fusion of
+            # the same dataflow pipelines better); opt in via env or arg
+            use_pallas = os.environ.get("CRT_USE_PALLAS", "") == "1"
+        self.use_pallas = bool(use_pallas)
 
         self.net = Net(
             proto,
@@ -131,6 +139,8 @@ class PoseEstimator:
         heatmap_blob = self.heatmap_blob
         num_parts, max_peaks = self.num_parts, self.max_peaks
         eff_peaks = self.eff_peaks
+        use_pallas = self.use_pallas
+        pallas_interpret = jax.default_backend() != "tpu"
         start_scale, scale_gap = self.start_scale, self.scale_gap
 
         from ..ops.imresize import imresize_average
@@ -171,9 +181,20 @@ class PoseEstimator:
                                    None, False, impls=impls)
                 low = blobs[lowres_blob]  # (S, h, w, C)
                 parts_low = low[..., :num_parts]
-                resized = imresize_average(parts_low, th, tw, start_scale, scale_gap)
-                heat = jnp.transpose(resized[0], (2, 0, 1))  # (P, th, tw)
-                peaks = nms_peaks(heat, nms_threshold, max_peaks)
+                if use_pallas:
+                    # fused Pallas tile kernel: upsample matmuls + peak
+                    # stencil + key block-reduce in VMEM (ops/nms_pallas.py)
+                    from ..ops.nms import peaks_from_keys
+                    from ..ops.nms_pallas import upsample_peak_keys
+
+                    heat, kbk = upsample_peak_keys(
+                        parts_low, (th, tw), start_scale, scale_gap,
+                        nms_threshold, interpret=pallas_interpret)
+                    peaks = peaks_from_keys(heat, kbk, max_peaks)
+                else:
+                    resized = imresize_average(parts_low, th, tw, start_scale, scale_gap)
+                    heat = jnp.transpose(resized[0], (2, 0, 1))  # (P, th, tw)
+                    peaks = nms_peaks(heat, nms_threshold, max_peaks)
                 if eff_peaks < max_peaks:
                     # first-K truncation in raster order (reference peak
                     # indexing is ordinal, so this is exact for counts <= K)

@@ -88,3 +88,25 @@ def test_pair_cap_and_batch_match_uncapped():
         np.testing.assert_array_equal(pc[:, 0, 0], pf[:, 0, 0])
         np.testing.assert_allclose(sc, sf[:, :32, :32], rtol=2e-2, atol=2e-2)
         np.testing.assert_array_equal(cc, cf[:, :32, :32])
+
+
+def test_pallas_upsample_peaks_matches_xla_chain():
+    """ops/nms_pallas.upsample_peak_keys (interpret mode on CPU) must
+    bit-match imresize_average + find_peaks_mask key construction."""
+    from caffe_rtpose_tpu.ops.nms import nms_peaks, peaks_from_keys
+    from caffe_rtpose_tpu.ops.nms_pallas import upsample_peak_keys
+
+    rs = np.random.RandomState(3)
+    for scales, start, gap in [(1, 1.0, 0.3), (3, 0.9, 0.1)]:
+        low = jnp.asarray(rs.rand(scales, 12, 16, 7).astype(np.float32) * 2 - 1)
+        th_, tw_ = 96, 128
+        thr = jnp.float32(0.2)
+        ref_full = imresize_average(low, th_, tw_, start, gap)
+        ref_heat = jnp.transpose(ref_full[0], (2, 0, 1))
+        ref = np.asarray(nms_peaks(ref_heat, thr, 10))
+        heat, kb = upsample_peak_keys(low, (th_, tw_), start, gap, thr,
+                                      interpret=True)
+        got = np.asarray(peaks_from_keys(heat, kb, 10))
+        np.testing.assert_allclose(np.asarray(heat), np.asarray(ref_heat),
+                                   atol=1e-5)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
