@@ -124,3 +124,58 @@ def test_pipeline_end_to_end_imagedir(tmp_path):
     assert files == ["im0.json", "im1.json", "im2.json"]
     data = json.loads(open(out_json / "im0.json").read())
     assert "bodies" in data and data["version"] == 0.1
+
+
+class TestKeyboardUI:
+    """handle_key mirrors rtpose.cpp:1551-1671."""
+
+    def _ui(self):
+        from caffe_rtpose_tpu.pipeline.runner import UIState
+
+        return UIState(nms_threshold=0.05, inter_threshold=0.05,
+                       min_subset_score=0.4, min_subset_cnt=3,
+                       inter_min_above_threshold=9)
+
+    def test_quit_and_toggles(self):
+        from caffe_rtpose_tpu.pipeline.runner import handle_key
+
+        ui = self._ui()
+        assert handle_key(ui, ord("g"), False) and ui.googly_eyes
+        assert handle_key(ui, ord("f"), False) and ui.fullscreen
+        assert handle_key(ui, ord(" "), False) and ui.paused
+        assert not handle_key(ui, 27, False) and ui.quit  # ESC
+
+    def test_threshold_tuning(self):
+        from caffe_rtpose_tpu.pipeline.runner import handle_key
+
+        ui = self._ui()
+        handle_key(ui, ord("="), False)
+        assert abs(ui.nms_threshold - 0.055) < 1e-9
+        handle_key(ui, ord("-"), False)
+        assert abs(ui.nms_threshold - 0.05) < 1e-9
+        handle_key(ui, ord("+"), False)
+        assert abs(ui.min_subset_score - 0.405) < 1e-9
+        handle_key(ui, ord("]"), False)
+        assert abs(ui.inter_threshold - 0.055) < 1e-9
+        handle_key(ui, ord("}"), False)
+        assert ui.inter_min_above_threshold == 10
+        handle_key(ui, ord("'"), False)
+        assert ui.min_subset_cnt == 4
+
+    def test_part_select_and_seek(self):
+        from caffe_rtpose_tpu.pipeline.runner import handle_key
+
+        ui = self._ui()
+        handle_key(ui, ord("3"), False)
+        assert ui.part_to_show == 3
+        handle_key(ui, ord("q"), False)
+        assert ui.part_to_show == 10  # key2part = "0123456789qwe..."
+        handle_key(ui, ord(","), False)
+        assert ui.part_to_show == 9
+        # seek only applies with a video source
+        ui.current_frame = 100
+        handle_key(ui, ord("l"), True)
+        assert ui.seek_to_frame and ui.current_frame == 130
+        ui.seek_to_frame = False
+        handle_key(ui, ord("k"), True)
+        assert ui.current_frame == 100
