@@ -204,6 +204,16 @@ class Net:
         self.layer_by_name: Dict[str, L.LayerImpl] = {i.name: i for i in self.impls}
         self.params = self.init_params(seed)
         self._jit_cache: Dict[Any, Any] = {}
+        # memory accounting (Net::Init logging, net.cpp:163-166) — upper
+        # bound: under XLA most intermediates are fused away or reused
+        self.memory_used = 4 * sum(
+            int(np.prod(bi.shape_physical)) for bi in blob_infos.values()
+        )
+        param_bytes = 4 * sum(
+            int(np.prod(pi.caffe_shape)) for impl in self.impls for pi in impl.params
+        )
+        log.info("Memory required for data (upper bound): %d; params: %d",
+                 self.memory_used, param_bytes)
 
     # ------------------------------------------------------------- params
 

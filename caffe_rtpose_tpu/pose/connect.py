@@ -413,3 +413,38 @@ def connect_limbs(
     params = params or desc.defaults
     score, count = score_pairs_np(heatmap, peaks, desc, params.inter_threshold)
     return assemble(peaks, score, count, desc, params, scale_xy)
+
+
+def distance_threshold_peaks(peaks: np.ndarray, dist_threshold: float = 6.0,
+                             max_peaks: int | None = None) -> np.ndarray:
+    """Dedup peaks closer than ``dist_threshold`` px, keeping the
+    best-scoring one (distanceThresholdPeaks, rtpose.cpp:753-806 — defined
+    but never called in the reference; provided for completeness).
+
+    peaks: (num_parts, max_peaks+1, 3) with counts in slot 0; returns the
+    same layout.  Replicates the reference's exact in-place swap behavior
+    (a close better peak replaces the earlier one but does not re-check
+    distances against the rest).
+    """
+    num_parts, slots, _ = peaks.shape
+    cap = (slots - 1) if max_peaks is None else int(max_peaks)
+    out = np.zeros_like(peaks)
+    thr2 = float(dist_threshold) * float(dist_threshold)
+    for p in range(num_parts):
+        n_in = int(peaks[p, 0, 0])
+        n_out = 0
+        for c1 in range(n_in):
+            x1, y1, s1 = peaks[p, c1 + 1]
+            keep = True
+            for c2 in range(n_out):
+                x2, y2, s2 = out[p, c2 + 1]
+                d2 = (x1 - x2) ** 2 + (y1 - y2) ** 2
+                if d2 < thr2:
+                    keep = False
+                    if s1 > s2:
+                        out[p, c2 + 1] = (x1, y1, s1)
+            if keep and n_out < cap:
+                out[p, n_out + 1] = (x1, y1, s1)
+                n_out += 1
+        out[p, 0, 0] = n_out
+    return out

@@ -138,3 +138,37 @@ def test_mpi_descriptor_tables():
     assert max(COCO_18.map_idx) == 56
     assert min(MPI_15.map_idx) == 16
     assert max(MPI_15.map_idx) == 43
+
+
+class TestDistanceThresholdPeaks:
+    """distanceThresholdPeaks parity (rtpose.cpp:753-806, dead code there)."""
+
+    def test_dedup_and_swap(self):
+        import numpy as np
+
+        from caffe_rtpose_tpu.pose.connect import distance_threshold_peaks
+
+        peaks = np.zeros((1, 6, 3), np.float32)
+        peaks[0, 0, 0] = 4
+        peaks[0, 1] = (10, 10, 0.5)
+        peaks[0, 2] = (12, 11, 0.9)   # within 6px of #1, better -> swaps in
+        peaks[0, 3] = (100, 100, 0.3)
+        peaks[0, 4] = (103, 100, 0.1)  # within 6px of #3, worse -> dropped
+        out = distance_threshold_peaks(peaks)
+        assert int(out[0, 0, 0]) == 2
+        np.testing.assert_allclose(out[0, 1], (12, 11, 0.9))
+        np.testing.assert_allclose(out[0, 2], (100, 100, 0.3))
+
+    def test_far_peaks_kept(self):
+        import numpy as np
+
+        from caffe_rtpose_tpu.pose.connect import distance_threshold_peaks
+
+        peaks = np.zeros((2, 4, 3), np.float32)
+        peaks[0, 0, 0] = 3
+        peaks[0, 1] = (0, 0, 0.1)
+        peaks[0, 2] = (50, 50, 0.2)
+        peaks[0, 3] = (100, 0, 0.3)
+        out = distance_threshold_peaks(peaks)
+        assert int(out[0, 0, 0]) == 3
+        assert int(out[1, 0, 0]) == 0
