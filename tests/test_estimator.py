@@ -92,3 +92,31 @@ def test_make_net_input_multiscale():
     padw, padh = (656 - tw) // 2, (368 - th) // 2
     assert np.all(x[1, :, :padh, :] == 0)
     assert np.all(x[1, :, :, :padw] == 0)
+
+
+class TestMpiAndMultiScale:
+    def test_mpi_estimator_selects_descriptor(self):
+        """MPI deploy: nms num_parts=15 -> MPI_15 descriptor + its connect
+        hyperparameters (warmup model auto-select, rtpose.cpp:212-229)."""
+        est = PoseEstimator("/root/reference/model/mpi/pose_deploy_linevec.prototxt",
+                            net_resolution=(128, 80), seed=3, input_u8=True)
+        assert est.num_parts == 15
+        assert est.descriptor.name.lower().startswith("mpi")
+        pc = est.params_connect
+        # MPI table: nms 0.2/min_cnt 3/min_score 0.4/inter 0.01/above 8
+        assert abs(pc.nms_threshold - 0.2) < 1e-6
+        assert pc.inter_min_above_threshold == 8
+        rs = np.random.RandomState(0)
+        x = (rs.rand(1, 80, 128, 3) * 255).astype(np.uint8)
+        peaks, score, count = est.fetch(est.run_device(x, nms_threshold=-1.0))
+        assert peaks.shape[0] == 15
+        assert score.shape[0] == est.descriptor.num_limbs == 14
+
+    def test_two_scale_estimator_runs(self):
+        est = PoseEstimator(REF_COCO, net_resolution=(128, 80), num_scales=2,
+                            start_scale=1.0, scale_gap=0.3, seed=5, input_u8=True)
+        rs = np.random.RandomState(1)
+        x = (rs.rand(2, 80, 128, 3) * 255).astype(np.uint8)
+        peaks, score, count = est.fetch(est.run_device(x, nms_threshold=-1.0))
+        assert peaks.shape == (18, est.max_peaks + 1, 3)
+        assert int(peaks[:, 0, 0].sum()) > 0
