@@ -87,7 +87,13 @@ class Net:
         level: int = 0,
         dtype=jnp.float32,
         seed: int = 0,
+        remat: str = "none",
     ):
+        """``remat``: gradient rematerialization policy — 'none' (default),
+        or 'convs' (wrap Convolution/Deconvolution applies in
+        ``jax.checkpoint`` so their activations are recomputed in the
+        backward pass instead of stored; trades ~30% extra forward FLOPs for
+        a large activation-memory cut on deep training graphs)."""
         if isinstance(proto, str):
             if "\n" in proto or "{" in proto:
                 net_param = prototxt.parse(proto)
@@ -98,6 +104,9 @@ class Net:
         self.net_param = net_param
         self.phase = phase
         self.dtype = dtype
+        if remat not in ("none", "convs"):
+            raise ValueError(f"unknown remat policy {remat!r}")
+        self.remat = remat
         nv = caffe_pb.view(net_param, "NetParameter")
         self.name = nv.name
         phase_i = caffe_pb.PHASE[phase]
@@ -321,12 +330,17 @@ class Net:
     def _apply(self, params, inputs: Dict[str, jax.Array], rng, knobs, training: bool,
                impls: Optional[List[Any]] = None):
         blobs: Dict[str, jax.Array] = dict(inputs)
+        remat_types = {"Convolution", "Deconvolution"} if self.remat == "convs" else ()
         for impl in (impls if impls is not None else self.impls):
             bots = [blobs[b] for b in impl.bottoms]
             p = params.get(impl.name, [])
             if impl.type == "Dropout":
                 rng, sub = jax.random.split(rng)
                 tops = impl.apply(p, bots, sub, training, knobs)
+            elif impl.type in remat_types and training:
+                tops = jax.checkpoint(
+                    lambda pp, bb, _impl=impl: _impl.apply(pp, bb, rng, training, knobs)
+                )(p, bots)
             else:
                 tops = impl.apply(p, bots, rng, training, knobs)
             for tname, t in zip(impl.tops, tops):

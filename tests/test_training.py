@@ -212,3 +212,45 @@ def test_dp_matches_single_device():
 
 def test_dryrun_multichip():
     dryrun_data_parallel(8)
+
+
+class TestRemat:
+    def test_remat_convs_same_gradients(self):
+        """remat='convs' must not change the math, only the schedule."""
+        import jax
+        import jax.numpy as jnp
+
+        from caffe_rtpose_tpu.core.net import Net
+
+        proto = {
+            "name": "r",
+            "input": ["x", "t"],
+            "input_shape": [{"dim": [2, 3, 8, 8]}, {"dim": [2, 4, 8, 8]}],
+            "layer": [
+                {"name": "c1", "type": "Convolution", "bottom": ["x"], "top": ["h"],
+                 "convolution_param": {"num_output": 4, "kernel_size": [3], "pad": [1],
+                                       "weight_filler": {"type": "gaussian", "std": 0.1}}},
+                {"name": "r1", "type": "ReLU", "bottom": ["h"], "top": ["h"]},
+                {"name": "c2", "type": "Convolution", "bottom": ["h"], "top": ["y"],
+                 "convolution_param": {"num_output": 4, "kernel_size": [3], "pad": [1],
+                                       "weight_filler": {"type": "gaussian", "std": 0.1}}},
+                {"name": "l", "type": "EuclideanLoss", "bottom": ["y", "t"], "top": ["l"]},
+            ],
+        }
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(2, 3, 8, 8), jnp.float32)
+        t = jnp.asarray(rs.randn(2, 4, 8, 8), jnp.float32)
+        grads = []
+        for remat in ("none", "convs"):
+            net = Net(proto, phase="TRAIN", seed=3, remat=remat)
+            loss_fn = net.make_loss_fn()
+            from caffe_rtpose_tpu.ops import layout as lay
+
+            inputs = {"x": lay.to_physical(x), "t": lay.to_physical(t)}
+            g = jax.grad(loss_fn)(net.params, inputs, jax.random.PRNGKey(0))
+            grads.append(g)
+        ga, gb = grads
+        for name in ga:
+            for a, b in zip(ga[name], gb[name]):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
