@@ -137,13 +137,20 @@ def make_label_fn(prm: AugParams, max_people: int = 12):
     return label_fn
 
 
-def make_input_transform(prm: AugParams, max_people: int = 12):
+def make_input_transform(prm: AugParams, max_people: int = 12,
+                         data_u8: bool = False):
     """Solver ``input_transform``: {data, joints, vis, weight} ->
-    {data, label} with the label rasterized on device."""
+    {data, label} with the label rasterized on device.
+
+    ``data_u8``: the host ships raw augmented u8 images (4x less H2D than
+    f32) and the exact ``(x - 128)/256`` normalize (Transform_nv
+    :1358-1361) runs on device."""
     label_fn = make_label_fn(prm, max_people)
 
     def tf(inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         out = {k: v for k, v in inputs.items() if k not in ("joints", "vis", "weight")}
+        if data_u8:
+            out["data"] = (out["data"].astype(jnp.float32) - 128.0) / 256.0
         out["label"] = label_fn(inputs["joints"], inputs["vis"], inputs["weight"])
         return out
 
@@ -157,10 +164,11 @@ def pose_batches_jointfeed(
     max_people: int = 12,
     seed: int = 0,
     train: bool = True,
+    data_u8: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Endless {data, joints, vis, weight} batches: host does the image
     augmentation chain (cv2 warps), the device rasterizes labels.  Pair with
-    :func:`make_input_transform` on the Solver."""
+    :func:`make_input_transform` on the Solver (matching ``data_u8``)."""
     from .datasets import _clone_meta  # lazy: avoids cycle at import
     from .transformer import transform_meta
 
@@ -168,7 +176,8 @@ def pose_batches_jointfeed(
     n = len(source)
     gy, gx = prm.crop_size_y // prm.stride, prm.crop_size_x // prm.stride
     while True:
-        datas = np.zeros((batch_size, 3, prm.crop_size_y, prm.crop_size_x), np.float32)
+        datas = np.zeros((batch_size, 3, prm.crop_size_y, prm.crop_size_x),
+                         np.uint8 if data_u8 else np.float32)
         joints = np.zeros((batch_size, max_people, 18, 2), np.float32)
         vis = np.full((batch_size, max_people, 18), 3, np.int32)
         weight = np.ones((batch_size, gy, gx), np.float32)
@@ -176,7 +185,8 @@ def pose_batches_jointfeed(
             img, meta, mask = source[int(rs.randint(n))]
             m = _clone_meta(meta)
             d, people, mask_grid = transform_meta(img, m, prm, rng=rs,
-                                                  mask_miss=mask, train=train)
+                                                  mask_miss=mask, train=train,
+                                                  normalize=not data_u8)
             datas[bi] = d
             for pi, p in enumerate(people[:max_people]):
                 joints[bi, pi] = p.joints[:18]

@@ -349,12 +349,14 @@ def transform_meta(
     mask_miss: Optional[np.ndarray] = None,
     train: bool = True,
     aug: Optional[AugSelection] = None,
+    normalize: bool = True,
 ):
     """Augmentation chain only (scale->rotate->croppad->flip,
     Transform_nv :1306-1346): returns (data (3, crop_y, crop_x),
     augmented people, mask_miss grid or None).  Label rasterization is left
     to the caller — either host :func:`generate_label_map` or the on-device
-    ``training.labels_device`` path."""
+    ``training.labels_device`` path.  ``normalize=False`` returns raw u8
+    (the exact (x-128)/256 then runs on device)."""
     if cv2 is None:
         raise RuntimeError("OpenCV required")
     rng = rng or np.random.RandomState()
@@ -379,7 +381,10 @@ def transform_meta(
         )
     else:
         mask_grid = None
-    data = (img_bgr.astype(np.float32) - 128.0) / 256.0  # (:1358-1361)
+    if normalize:
+        data = (img_bgr.astype(np.float32) - 128.0) / 256.0  # (:1358-1361)
+    else:
+        data = img_bgr
     data = data.transpose(2, 0, 1)
     return data, meta.people, mask_grid
 

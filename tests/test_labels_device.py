@@ -98,3 +98,27 @@ class TestJointfeedPipeline:
         l0 = solver.step(1)
         l1 = solver.step(1)
         assert np.isfinite(l0) and np.isfinite(l1)
+
+
+class TestU8Jointfeed:
+    def test_u8_matches_f32_path(self):
+        """data_u8 ships raw u8; on-device (x-128)/256 must equal the host
+        normalize exactly (u8 values are exact in f32)."""
+        import jax.numpy as jnp
+
+        from caffe_rtpose_tpu.training.datasets import SyntheticPoseSource
+        from caffe_rtpose_tpu.training.labels_device import (
+            make_input_transform, pose_batches_jointfeed)
+
+        prm = AugParams(crop_size_x=64, crop_size_y=64)
+        src = SyntheticPoseSource(n=3, size=96)
+        it_f = pose_batches_jointfeed(src, prm, batch_size=2, max_people=4,
+                                      seed=5, data_u8=False)
+        it_u = pose_batches_jointfeed(src, prm, batch_size=2, max_people=4,
+                                      seed=5, data_u8=True)
+        bf, bu = next(it_f), next(it_u)
+        assert bu["data"].dtype == np.uint8
+        tf = make_input_transform(prm, max_people=4, data_u8=True)
+        out = tf({k: jnp.asarray(v) for k, v in bu.items()})
+        np.testing.assert_allclose(np.asarray(out["data"]), bf["data"],
+                                   atol=1e-6)
