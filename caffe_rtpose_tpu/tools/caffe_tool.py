@@ -97,8 +97,32 @@ def cmd_train(args) -> int:
                   f"batch_size is the GLOBAL batch, sharded {n} ways "
                   f"(scale it by {n} for Caffe's per-GPU weak-scaling)")
 
-    data_iter = make_data_iter(args.data, net)
-    solver = Solver(sp_msg, net, lambda it: next(data_iter), mesh=mesh)
+    input_transform = None
+    if getattr(args, "fused_labels", False):
+        # fast pose-training pipeline: u8 image upload + on-device CPM label
+        # rasterization + prefetch (measured ~2.2x step rate at batch 10,
+        # docs/performance.md); requires a CPM train graph with data+label
+        # inputs and the synthetic/JSON pose sources
+        from ..training.datasets import SyntheticPoseSource, prefetch_loader
+        from ..training.labels_device import (make_input_transform,
+                                              pose_batches_jointfeed)
+        from ..training.transformer import AugParams
+
+        shp = net.blob_infos["data"].shape_caffe
+        prm = AugParams(crop_size_x=shp[3], crop_size_y=shp[2])
+        if args.data == "synthetic-pose":
+            src = SyntheticPoseSource(size=max(shp[2], shp[3]) + 52)
+        else:
+            from ..training.datasets import JsonPoseSource
+
+            src = JsonPoseSource(args.data)
+        data_iter = prefetch_loader(pose_batches_jointfeed(
+            src, prm, batch_size=shp[0], data_u8=True))
+        input_transform = make_input_transform(prm, data_u8=True)
+    else:
+        data_iter = make_data_iter(args.data, net)
+    solver = Solver(sp_msg, net, lambda it: next(data_iter), mesh=mesh,
+                    input_transform=input_transform)
     if args.snapshot:
         solver.restore(args.snapshot)
         print(f"Restored from {args.snapshot} at iter {solver.it}")
@@ -198,6 +222,8 @@ def build_parser():
     t = sub.add_parser("train")
     t.add_argument("--solver", required=True)
     t.add_argument("--gpu", default="", help="'all' or comma-separated device ids: data-parallel over a mesh")
+    t.add_argument("--fused_labels", action="store_true",
+                   help="pose training fast path: u8 upload + device label rasterization + prefetch")
     t.add_argument("--data", default="synthetic-pose")
     t.add_argument("--snapshot", default="", help="resume from .solverstate")
     t.add_argument("--weights", default="", help="finetune from .caffemodel")

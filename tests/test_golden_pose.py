@@ -38,3 +38,31 @@ def test_pose_pipeline_matches_golden():
     if golden["num_people"]:
         np.testing.assert_allclose(res.joints, np.asarray(golden["joints"]),
                                    atol=5e-3)
+
+
+def test_cnn_activations_match_golden():
+    """Whole-CNN golden (trunk + 6 stages): fixed seeded weights + input ->
+    recorded concat_stage7 activations; guards conv/pool/concat semantics."""
+    import pytest
+
+    if not os.path.exists(REF_COCO):
+        pytest.skip("reference not mounted")
+    import jax.numpy as jnp
+
+    from caffe_rtpose_tpu.core.net import Net
+
+    blob = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                "concat_stage7_seed42.npz"))
+    net = Net(REF_COCO, phase="TEST", input_shapes={"image": (1, 3, 80, 128)})
+    rs = np.random.RandomState(42)
+    for name in sorted(net.params):
+        net.params[name] = [
+            jnp.asarray(rs.randn(*np.asarray(p).shape).astype(np.float32) * 0.05)
+            for p in net.params[name]
+        ]
+    x = rs.rand(1, 3, 80, 128).astype(np.float32) - 0.5
+    np.testing.assert_allclose(x, blob["x"], atol=0)  # rng stream stable
+    out = net.forward({"image": x}, outputs=["concat_stage7"])["concat_stage7"]
+    np.testing.assert_allclose(out, blob["y"], rtol=2e-4, atol=200)
+    # atol covers catastrophic-cancellation noise on near-zero elements of
+    # the deliberately large-magnitude activations (scale ~1e7)
