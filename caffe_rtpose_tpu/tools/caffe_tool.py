@@ -97,6 +97,21 @@ def cmd_train(args) -> int:
                   f"batch_size is the GLOBAL batch, sharded {n} ways "
                   f"(scale it by {n} for Caffe's per-GPU weak-scaling)")
 
+    # test nets from the solver param (test_net files / the shared net at
+    # TEST phase, with per-net test_iter — tools/caffe.cpp + Solver::Init)
+    test_nets = []
+    if sp.has("test_interval") and int(sp.test_interval) > 0:
+        iters = [int(v) for v in sp.test_iter] or [50]
+        sources = list(sp.test_net) or ([net_param] if not sp.has("test_net") else [])
+        for i, src in enumerate(sources):
+            tnet = Net(src, phase="TEST")
+            ti = iters[min(i, len(iters) - 1)]
+            fn = None
+            if not tnet.data_layers:
+                t_iter_data = make_data_iter(args.data, tnet)
+                fn = lambda it, _d=t_iter_data: next(_d)
+            test_nets.append((tnet, fn, ti))
+
     input_transform = None
     if getattr(args, "fused_labels", False):
         # fast pose-training pipeline: u8 image upload + on-device CPM label
@@ -122,7 +137,7 @@ def cmd_train(args) -> int:
     else:
         data_iter = make_data_iter(args.data, net)
     solver = Solver(sp_msg, net, lambda it: next(data_iter), mesh=mesh,
-                    input_transform=input_transform)
+                    input_transform=input_transform, test_nets=test_nets)
     if args.snapshot:
         solver.restore(args.snapshot)
         print(f"Restored from {args.snapshot} at iter {solver.it}")

@@ -250,6 +250,10 @@ class Solver:
             def loss_fn(params, inputs, rng):  # noqa: F811
                 return base_loss(params, input_transform(inputs), rng)
 
+        # test nets: list of (net, data_fn_or_None, test_iter) —
+        # Solver::TestAll/Test (solver.cpp:328-380): weights shared from the
+        # train net by layer name, output blobs averaged over test_iter
+        self.test_nets: List[Tuple[Any, Optional[Callable], int]] = list(test_nets or [])
         self.mesh = mesh
         if mesh is not None:
             # multi-device data parallel, replacing P2PSync (parallel.cpp):
@@ -269,6 +273,10 @@ class Solver:
 
         loss_val = float("nan")
         for _ in range(iters):
+            interval = int(self.sp.test_interval) if self.sp.has("test_interval") else 0
+            if (self.test_nets and interval and self.it % interval == 0
+                    and (self.it > 0 or bool(self.sp.test_initialization))):
+                self.test_all()
             lr = learning_rate(self.sp, self.it)
             total_loss = None
             grads_acc = None
@@ -305,6 +313,34 @@ class Solver:
             if self.sp.snapshot and self.it % int(self.sp.snapshot) == 0 and self.sp.snapshot_prefix:
                 self.snapshot()
         return loss_val
+
+    def test_all(self) -> Dict[str, float]:
+        """Run every test net (Solver::TestAll); returns {blob: mean} of the
+        last net for programmatic use."""
+        scores: Dict[str, float] = {}
+        for i in range(len(self.test_nets)):
+            scores = self.test(i)
+        return scores
+
+    def test(self, test_net_id: int = 0) -> Dict[str, float]:
+        """Solver::Test (solver.cpp:337-380): share trained weights by layer
+        name, average output blobs over test_iter forwards."""
+        net, data_fn, test_iter = self.test_nets[test_net_id]
+        print(f"Iteration {self.it}, Testing net (#{test_net_id})")
+        # ShareTrainedLayersWith: copy current train params by layer name
+        for name, blobs in self.net.params.items():
+            if name in net.params and len(net.params[name]) == len(blobs):
+                net.params[name] = blobs
+        totals: Dict[str, float] = {}
+        for _ in range(max(1, int(test_iter))):
+            inputs = data_fn(self.it) if data_fn is not None else {}
+            out = net.forward(dict(inputs))
+            for k, v in out.items():
+                totals[k] = totals.get(k, 0.0) + float(np.mean(v))
+        means = {k: v / max(1, int(test_iter)) for k, v in totals.items()}
+        for j, (k, v) in enumerate(sorted(means.items())):
+            print(f"    Test net output #{j}: {k} = {v:.6g}")
+        return means
 
     @property
     def iter(self) -> int:

@@ -254,3 +254,37 @@ class TestRemat:
             for a, b in zip(ga[name], gb[name]):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=1e-5, atol=1e-6)
+
+
+class TestTestNets:
+    def test_testall_shares_weights(self):
+        """Solver::Test parity: test-net scores track the training weights."""
+        from caffe_rtpose_tpu.core.net import Net
+        from caffe_rtpose_tpu.training.solver import Solver
+
+        proto = {
+            "name": "tn",
+            "input": ["x", "t"],
+            "input_shape": [{"dim": [4, 3]}, {"dim": [4, 1]}],
+            "layer": [
+                {"name": "ip", "type": "InnerProduct", "bottom": ["x"], "top": ["p"],
+                 "inner_product_param": {"num_output": 1}},
+                {"name": "l", "type": "EuclideanLoss", "bottom": ["p", "t"],
+                 "top": ["l"]},
+            ],
+        }
+        rs = np.random.RandomState(0)
+        W = np.array([[1.0, -2.0, 0.5]], np.float32)
+        X = rs.randn(4, 3).astype(np.float32)
+        T = X @ W.T
+        data = lambda it: {"x": X, "t": T}
+        train_net = Net(proto, phase="TRAIN", seed=1)
+        test_net = Net(proto, phase="TEST", seed=99)  # different init
+        s = Solver(
+            "base_lr: 0.05 momentum: 0.9 lr_policy: 'fixed' max_iter: 60 "
+            "test_interval: 1000",
+            train_net, data, test_nets=[(test_net, data, 3)])
+        before = s.test(0)["l"]
+        s.step(60)
+        after = s.test(0)["l"]
+        assert after < before * 0.05, (before, after)
