@@ -176,6 +176,20 @@ def main(argv=None) -> int:
     m.add_argument("--out", default="", help=".binaryproto or .npy")
     m.set_defaults(fn=lambda a: (compute_image_mean(a.src, a.out or None), 0)[1])
 
+    b = sub.add_parser("build_pose_db",
+                       help="pack a pose annotation index into one kvdb "
+                            "(the CPM training-LMDB analog)")
+    b.add_argument("index", help="JsonPoseSource annotation index (.json)")
+    b.add_argument("out_path")
+    b.add_argument("--root", default="")
+    def _build(a):
+        from ..training.pose_db import build_pose_db
+
+        n = build_pose_db(a.index, a.out_path, root=a.root)
+        print(f"Packed {n} pose records -> {a.out_path}")
+        return 0
+    b.set_defaults(fn=_build)
+
     e = sub.add_parser("extract_features")
     e.add_argument("--model", required=True)
     e.add_argument("--weights", default="")

@@ -283,3 +283,47 @@ class TestAuxToolsDb:
         mean = compute_image_mean(dbp, mp)
         assert mean.shape == (3, 6, 6)
         np.testing.assert_allclose(read_mean_binaryproto(mp), mean, rtol=1e-6)
+
+
+class TestPoseDb:
+    def test_roundtrip_and_training_feed(self, tmp_path):
+        import cv2
+        import json as _json
+
+        from caffe_rtpose_tpu.training.datasets import pose_batches
+        from caffe_rtpose_tpu.training.pose_db import PoseDbSource, build_pose_db
+        from caffe_rtpose_tpu.training.transformer import AugParams
+
+        rs = np.random.RandomState(0)
+        idx = []
+        for i in range(3):
+            img = (rs.rand(60, 80, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(tmp_path / f"p{i}.png"), img)
+            joints = rs.uniform(5, 55, (18, 3)).astype(float)
+            joints[:, 2] = 1
+            idx.append({"image": f"p{i}.png", "scale_self": 0.7,
+                        "objpos": [40, 30], "joints": joints.tolist()})
+        (tmp_path / "index.json").write_text(_json.dumps(idx))
+        mask = np.full((60, 80), 255, np.uint8)
+        cv2.imwrite(str(tmp_path / "m.png"), mask)
+        idx[1]["mask"] = "m.png"
+        (tmp_path / "index.json").write_text(_json.dumps(idx))
+
+        dbp = str(tmp_path / "pose.kvdb")
+        n = build_pose_db(str(tmp_path / "index.json"), dbp)
+        assert n == 3
+        src = PoseDbSource(dbp)
+        assert len(src) == 3
+        img1, meta1, mask1 = src[1]
+        assert img1.shape == (60, 80, 3)
+        assert len(meta1.people) == 1
+        assert meta1.people[0].joints.shape == (18, 2)
+        assert mask1 is not None and mask1.shape == (60, 80)
+        # lossless: PNG roundtrip of the image
+        orig = cv2.imread(str(tmp_path / "p1.png"))
+        np.testing.assert_array_equal(img1, orig)
+        # feeds the training transformer end-to-end
+        prm = AugParams(crop_size_x=48, crop_size_y=48)
+        batch = next(pose_batches(src, prm, batch_size=2))
+        assert batch["data"].shape == (2, 3, 48, 48)
+        assert np.isfinite(batch["label"]).all()
