@@ -217,8 +217,7 @@ class PoseEstimator:
 
             self._packed = True
             if self.batch > 1:
-                fn_single = fn
-                fn = jax.vmap(fn_single, in_axes=(None, 0, None, None))
+                fn = jax.vmap(fn, in_axes=(None, 0, None, None))
         else:
             if self.batch > 1:
                 raise ValueError("batch > 1 requires the optimized packed path")

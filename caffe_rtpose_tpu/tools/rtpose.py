@@ -77,8 +77,19 @@ def main(argv=None) -> int:
         print(f"warning: caffemodel {args.caffemodel!r} not found; "
               "running with random weights", file=sys.stderr)
 
+    proto = args.caffeproto
+    if not os.path.exists(proto):
+        # self-contained fallback: our generator emits the identical COCO
+        # deploy topology (models/cpm.py), so the demo runs without the
+        # reference checkout
+        from ..models.cpm import make_pose_deploy_net
+
+        print(f"warning: prototxt {proto!r} not found; using the built-in "
+              "COCO 18-kpt deploy graph", file=sys.stderr)
+        proto = make_pose_deploy_net()
+
     est = PoseEstimator(
-        args.caffeproto,
+        proto,
         weights=weights,
         net_resolution=args.net_resolution,
         num_scales=args.num_scales,
