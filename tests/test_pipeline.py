@@ -179,3 +179,42 @@ class TestKeyboardUI:
         ui.seek_to_frame = False
         handle_key(ui, ord("k"), True)
         assert ui.current_frame == 100
+
+
+class TestPipelineStress:
+    def test_many_frames_ordered_no_drops(self, tmp_path):
+        """Thread-safety/order under load: 120 frames through the full
+        pipeline with drops disabled -> every frame written, in order
+        (exercises queues/reorder/writers the way a soak run would)."""
+        import glob
+        import json
+
+        import cv2
+
+        from caffe_rtpose_tpu.pipeline.runner import PipelineConfig, RtPosePipeline
+        from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rs = np.random.RandomState(0)
+        base = (rs.rand(60, 96, 3) * 255).astype(np.uint8)
+        for i in range(120):
+            img = base.copy()
+            cv2.putText(img, str(i), (5, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                        (255, 255, 255), 1)
+            cv2.imwrite(str(d / f"f{i:04d}.png"), img)
+        out = tmp_path / "out"
+        est = PoseEstimator(
+            "/root/reference/model/coco/pose_deploy_linevec.prototxt",
+            net_resolution=(96, 64), seed=0, input_u8=True)
+        cfg = PipelineConfig(image_dir=str(d), resolution=(96, 64),
+                             net_resolution=(96, 64), no_display=True,
+                             write_json=str(out), no_frame_drops=True,
+                             fetchers=4)
+        n = RtPosePipeline(est, cfg).run()
+        assert n == 120
+        files = sorted(glob.glob(str(out / "*.json")))
+        assert len(files) == 120
+        for f in files:
+            with open(f) as fh:
+                assert json.load(fh)["version"] == 0.1
