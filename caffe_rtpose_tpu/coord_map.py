@@ -30,9 +30,14 @@ def layer_coord_map(lv: caffe_pb.View) -> Optional[Tuple[float, float]]:
     if t in ("Convolution", "Pooling", "Im2col"):
         p = lv.convolution_param if t != "Pooling" else lv.pooling_param
         if t == "Pooling":
-            k = _geom([], p.kernel_size, 1) or _geom([], p.kernel_h, 1)
-            s = _geom([], p.stride, 1)
-            pad = _geom([], p.pad, 0)
+            # scalar fields; kernel_h/stride_h/pad_h take effect when the
+            # plain field is unset (pooling_param semantics)
+            k = int(p.kernel_size or 0) if p.has("kernel_size") else 0
+            k = k or (int(p.kernel_h or 0) if p.has("kernel_h") else 0) or 1
+            s = int(p.stride) if p.has("stride") else (
+                int(p.stride_h or 0) if p.has("stride_h") else 0) or 1
+            pad = (int(p.pad) if p.has("pad") else 0) or (
+                int(p.pad_h or 0) if p.has("pad_h") else 0)
             d = 1
         else:
             k = _geom(p.kernel_size, getattr(p, "kernel_h", 0), 1)

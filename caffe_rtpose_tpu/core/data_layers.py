@@ -13,7 +13,7 @@ reference's double-buffering.
 
 Standard transform parity (DataTransformer::Transform,
 data_transformer.cpp:57-220): mean_file/mean_value subtract -> crop (center
-at TEST, random at TRAIN) -> mirror (TRAIN) -> scale.
+at TEST, random at TRAIN) -> random mirror (any phase) -> scale.
 """
 
 from __future__ import annotations
@@ -27,7 +27,8 @@ import numpy as np
 from ..proto import caffe_pb, datum as datum_io
 from ..proto.wire import decode
 
-DATA_LAYER_TYPES = {"Data", "ImageData", "MemoryData", "HDF5Data", "WindowData"}
+DATA_LAYER_TYPES = {"Data", "ImageData", "MemoryData", "HDF5Data",
+                    "WindowData", "CPMData"}
 
 
 def read_mean_binaryproto(path: str) -> np.ndarray:
@@ -83,7 +84,9 @@ class StandardTransformer:
             else:
                 off_h, off_w = (h - cs) // 2, (w - cs) // 2
             x = x[:, off_h : off_h + cs, off_w : off_w + cs]
-        if self.mirror and self.phase == "TRAIN" and rs.randint(2):
+        # do_mirror = param.mirror() && Rand(2) — NO phase gate
+        # (data_transformer.cpp:66)
+        if self.mirror and rs.randint(2):
             x = x[:, :, ::-1]
         return x * self.scale
 
@@ -409,12 +412,21 @@ class WindowDataLayer(HostDataLayer):
             yield out
 
 
+def _cpm_data_unsupported(lv, phase):
+    raise NotImplementedError(
+        "CPMData (the legacy CPM training LMDB layer) is not a graph layer "
+        "here: build a pose kvdb with `caffe-aux build_pose_db` and train "
+        "via training.pose_db.PoseDbSource + training.labels_device (or "
+        "`caffe train --fused_labels`)")
+
+
 _BUILDERS = {
     "Data": DataLayer,
     "ImageData": ImageDataLayer,
     "MemoryData": MemoryDataLayer,
     "HDF5Data": HDF5DataLayer,
     "WindowData": WindowDataLayer,
+    "CPMData": _cpm_data_unsupported,
 }
 
 

@@ -35,11 +35,17 @@ def load_lib(name: str) -> Optional[ctypes.CDLL]:
         lib_path = os.path.join(_ROOT, "native", f"lib{name}.so")
         lib = None
         try:
-            if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src):
+            have_src = os.path.exists(src)
+            stale = have_src and (
+                not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src)
+            )
+            if stale:
                 subprocess.run(
                     ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", lib_path],
                     check=True, capture_output=True,
                 )
+            # a prebuilt lib without its source (stripped install) still loads
             lib = ctypes.CDLL(lib_path)
         except Exception:
             lib = None

@@ -117,12 +117,18 @@ KEY2PART = "0123456789qwertyuiopas"
 def handle_key(ui: UIState, c: int, has_video: bool) -> bool:
     """Keyboard UI (handleKey, rtpose.cpp:1551-1671).  Returns False on
     quit (ESC)."""
-    if c >= 65505:  # shift modifier scan codes
+    if c >= 65505:  # bare shift modifier scan code: remember, no action
         ui.is_shift_down = True
-        c = ord(chr(c & 0xFF).lower())
-    else:
-        ui.is_shift_down = False
+        return True
     ch = chr(c) if 0 <= c < 256 else ""
+    # shifted letters arrive as uppercase from waitKey; fold to lowercase
+    # and treat the case as the shift state (the reference's is_shift_down
+    # tracking never actually fires for letters, rtpose.cpp:1554-1560)
+    if ch.isalpha() and ch.isupper():
+        ui.is_shift_down = True
+        ch = ch.lower()
+    elif ch:
+        ui.is_shift_down = False
     if c == 27:  # ESC
         ui.quit = True
         return False
@@ -130,7 +136,7 @@ def handle_key(ui: UIState, c: int, has_video: bool) -> bool:
         ui.googly_eyes = not ui.googly_eyes
     if ch in ("l", "k", " "):
         if has_video and ch in ("l", "k"):
-            delta = 2 if ui.is_shift_down else 30
+            delta = 2 if ui.is_shift_down else 30  # shift = fine seek
             ui.current_frame += delta if ch == "l" else -delta
             ui.seek_to_frame = True
         if ch == " ":
@@ -262,6 +268,7 @@ class RtPosePipeline:
         self.processed = 0
         self._renderer = None
         self._win_fullscreen = False
+        self._warned_no_heatmap = False
         pc = estimator.params_connect
         self.ui = UIState(
             part_to_show=cfg.part_to_show,
@@ -441,6 +448,10 @@ class RtPosePipeline:
             poses[:n] = f.joints[:n]
         canvas = jnp.asarray(f.display.astype(np.float32))
         p2s = self.ui.part_to_show
+        if p2s > 0 and f.heatmap is None and not self._warned_no_heatmap:
+            self._warned_no_heatmap = True
+            print("note: heatmap part views need the full-res maps; restart "
+                  "with --part_to_show > 0 to enable them", flush=True)
         if p2s > 0 and f.heatmap is not None:
             # heatmap views (render_pose_*_heatmap/affinity semantics):
             # 1..P+1 single part/bkg channel, P+2 all parts, beyond: PAFs

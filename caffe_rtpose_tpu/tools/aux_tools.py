@@ -62,8 +62,8 @@ def convert_imageset(listfile: str, root: str, out_path: str,
             imgs.append(img.transpose(2, 0, 1))  # CHW, BGR
             labels.append(label)
         else:
-            d = datum_io.image_to_datum(
-                img, label, encode_type if (encoded or encode_type) else "")
+            fmt = encode_type or ("png" if encoded else "")
+            d = datum_io.image_to_datum(img, label, fmt)
             # key format matches convert_imageset.cpp:143: %08d_<path>
             txn.put(f"{idx:08d}_{path}", datum_io.serialize_datum(d))
             if (count + 1) % 1000 == 0:

@@ -301,6 +301,7 @@ class _LmdbImpl:
     def _refresh(self):
         with self.env.begin() as txn:
             self._items = [(k, bytes(v)) for k, v in txn.cursor()]
+        self._keys = [k for k, _ in self._items]
 
     def count(self):
         return len(self._items)
@@ -309,7 +310,7 @@ class _LmdbImpl:
         return self._items[pos]
 
     def find(self, key):
-        ks = [k for k, _ in self._items]
+        ks = self._keys
         i = bisect_left(ks, key)
         return i if i < len(ks) and ks[i] == key else -1 - i
 

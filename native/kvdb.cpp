@@ -178,7 +178,20 @@ int kvdb_commit(void* h) {
   uint64_t new_end = off + buf.size();
 
   // merge old index (already sorted) with fresh keys; last write wins on dup
-  std::sort(fresh.begin(), fresh.end());
+  std::stable_sort(fresh.begin(), fresh.end(),
+                   [](const auto& a, const auto& b) { return a.first < b.first; });
+  // dedup duplicate keys within this transaction: keep the LAST put
+  // (stable sort preserves put order among equal keys)
+  {
+    std::vector<std::pair<std::string, uint64_t>> dedup;
+    for (auto& kv : fresh) {
+      if (!dedup.empty() && dedup.back().first == kv.first)
+        dedup.back().second = kv.second;
+      else
+        dedup.push_back(kv);
+    }
+    fresh.swap(dedup);
+  }
   std::vector<uint64_t> merged;
   merged.reserve(db->index.size() + fresh.size());
   // temporary map of new data for comparisons: need key bytes of old recs,
@@ -205,13 +218,6 @@ int kvdb_commit(void* h) {
   }
   for (; i < db->index.size(); ++i) merged.push_back(db->index[i]);
   for (; j < fresh.size(); ++j) merged.push_back(fresh[j].second);
-  // dedup among fresh keys themselves (equal adjacent): keep the LAST put
-  for (size_t k = 0; k + 1 < fresh.size();) {
-    if (fresh[k].first == fresh[k + 1].first)
-      fresh.erase(fresh.begin() + k);
-    else
-      ++k;
-  }
 
   if (pwrite(db->fd, merged.data(), merged.size() * 8, new_end) !=
       (ssize_t)(merged.size() * 8))

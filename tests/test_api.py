@@ -143,3 +143,27 @@ class TestCoordMap:
         import pytest as _pytest
         with _pytest.raises(RuntimeError):
             cm.coord_map_from_to(net, "z", "x")  # InnerProduct has no map
+
+
+class TestCoordMapPoolingHW:
+    def test_kernel_h_fields_respected(self):
+        """Review regression: pooling via kernel_h/kernel_w (+stride_h) must
+        produce the same map as kernel_size/stride."""
+        from caffe_rtpose_tpu import coord_map as cm
+        from caffe_rtpose_tpu.core.net import Net
+
+        def net_for(pool_param):
+            return Net({
+                "name": "p",
+                "input": ["x"],
+                "input_shape": [{"dim": [1, 1, 16, 16]}],
+                "layer": [{"name": "pl", "type": "Pooling", "bottom": ["x"],
+                           "top": ["y"], "pooling_param": pool_param}],
+            }, phase="TEST")
+
+        a1, b1 = cm.coord_map_from_to(net_for(
+            {"kernel_size": 3, "stride": 2}), "y", "x")
+        a2, b2 = cm.coord_map_from_to(net_for(
+            {"kernel_h": 3, "kernel_w": 3, "stride_h": 2, "stride_w": 2}), "y", "x")
+        assert (a1, b1) == (2.0, 1.0)
+        assert (a2, b2) == (a1, b1)

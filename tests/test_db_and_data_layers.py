@@ -327,3 +327,63 @@ class TestPoseDb:
         batch = next(pose_batches(src, prm, batch_size=2))
         assert batch["data"].shape == (2, 3, 48, 48)
         assert np.isfinite(batch["label"]).all()
+
+
+class TestReviewRegressions:
+    def test_native_in_txn_duplicate_key_last_wins(self, tmp_path):
+        """Duplicate puts within ONE transaction: last write wins in both
+        backends (review finding: the native dedup used to be dead code)."""
+        from caffe_rtpose_tpu import native
+
+        for opener in ("native", "python"):
+            path = str(tmp_path / f"{opener}.kvdb")
+            if opener == "native":
+                lib = native.load_lib("kvdb")
+                if lib is None:
+                    pytest.skip("no native toolchain")
+                imp = dbmod._NativeKvdb(lib, path, True)
+            else:
+                imp = dbmod._PyKvdb(path, True)
+            imp.put(b"a", b"first")
+            imp.put(b"a", b"second")
+            imp.put(b"b", b"x")
+            imp.commit()
+            assert imp.count() == 2, opener
+            assert imp.at(imp.find(b"a"))[1] == b"second", opener
+            imp.close()
+
+    def test_convert_imageset_encoded_defaults_to_png(self, tmp_path):
+        import cv2
+
+        from caffe_rtpose_tpu.tools.aux_tools import convert_imageset
+
+        img = (np.random.RandomState(0).rand(6, 6, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "a.png"), img)
+        (tmp_path / "l.txt").write_text("a.png 0\n")
+        dbp = str(tmp_path / "enc.kvdb")
+        convert_imageset(str(tmp_path / "l.txt"), str(tmp_path), dbp, encoded=True)
+        with dbmod.open_db(dbp, "r") as d:
+            cur = d.new_cursor()
+            cur.seek_to_first()
+            rec = datum_io.parse_datum(cur.value())
+            assert rec.get("encoded"), "encoded flag must be set"
+            np.testing.assert_array_equal(datum_io.datum_to_image(rec), img)
+
+    def test_test_phase_mirror_applies(self):
+        from caffe_rtpose_tpu.core.data_layers import StandardTransformer
+        from caffe_rtpose_tpu.proto import caffe_pb
+
+        tp = caffe_pb.view({"mirror": True}, "TransformationParameter")
+        tf = StandardTransformer(tp, "TEST")
+        x = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+        rs = np.random.RandomState(0)
+        outs = {tf(x, rs).tobytes() for _ in range(16)}
+        assert len(outs) == 2, "mirror must fire in TEST phase too"
+
+    def test_cpm_data_layer_guidance(self):
+        from caffe_rtpose_tpu.core.net import Net
+
+        proto = {"name": "c", "layer": [
+            {"name": "d", "type": "CPMData", "top": ["data", "label"]}]}
+        with pytest.raises(NotImplementedError, match="build_pose_db"):
+            Net(proto, phase="TRAIN")
