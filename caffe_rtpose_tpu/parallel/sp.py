@@ -33,6 +33,31 @@ def make_spatial_forward(mesh: Mesh, forward: Callable, axis: str = "spatial"):
     return fn
 
 
+def spatial_estimator_fn(mesh: Mesh, estimator, axis: str = "spatial"):
+    """Shard the estimator's fused device program over H of the input canvas
+    (the headroom path when one chip can't hold a very large
+    ``--net_resolution``): params replicated, image H-sharded, the small
+    peak/score outputs replicated.  XLA's SPMD partitioner inserts the conv
+    halo exchanges over ICI.
+
+    Returns ``fn(params, image_phys, nms_thr, inter_thr)`` jitted over the
+    mesh; use with ``estimator._raw_fn``-compatible inputs (see
+    PoseEstimator.run_device for layouts)."""
+    img_sharding = NamedSharding(mesh, P(None, axis, None, None))
+    repl = NamedSharding(mesh, P())
+    raw = estimator._raw_fn
+
+    @jax.jit
+    def fn(params, image_phys, nms_thr, inter_thr):
+        params = jax.lax.with_sharding_constraint(params, repl)
+        image_phys = jax.lax.with_sharding_constraint(image_phys, img_sharding)
+        out = raw(params, image_phys, nms_thr, inter_thr)
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(a, repl), out)
+
+    return fn
+
+
 def dryrun_spatial(n_devices: int) -> None:
     """Shard a conv+pool trunk forward over H across n devices; verify the
     result matches the unsharded run."""

@@ -118,3 +118,35 @@ def test_run_list_parser():
     entries = parse_image_list(ref)
     assert len(entries) == 1160
     assert entries[0] == (136, "COCO_val2014_000000000136.jpg", 374, 500)
+
+
+class TestSpatialEstimator:
+    def test_h_sharded_estimator_matches_single_device(self):
+        """The full fused pose program (CNN + upsample + NMS + PAF scoring)
+        sharded over H across the 8-device mesh must match the unsharded
+        run exactly (SURVEY section 7 item 5: spatial headroom path)."""
+        import jax
+        import numpy as np
+
+        from caffe_rtpose_tpu.parallel.dp import make_mesh
+        from caffe_rtpose_tpu.parallel.sp import spatial_estimator_fn
+        from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+
+        est = PoseEstimator(
+            "/root/reference/model/coco/pose_deploy_linevec.prototxt",
+            net_resolution=(128, 128), seed=4, input_u8=True)
+        rs = np.random.RandomState(0)
+        x = (rs.rand(1, 128, 128, 3) * 255).astype(np.uint8)
+        ref = est.fetch(est.run_device(x, nms_threshold=-1.0))
+
+        mesh = make_mesh(8, axis="spatial")
+        import jax.numpy as jnp
+
+        fn = spatial_estimator_fn(mesh, est)
+        with mesh:
+            out = fn(est.net.params, jnp.asarray(x),
+                     jnp.float32(-1.0), jnp.float32(est.params_connect.inter_threshold))
+        got = est.unpack(np.asarray(jax.device_get(out["packed"])))
+        np.testing.assert_array_equal(got[0][:, 0, 0], ref[0][:, 0, 0])
+        np.testing.assert_allclose(got[0], ref[0], atol=2e-3)
+        np.testing.assert_allclose(got[1], ref[1], atol=2e-2)
