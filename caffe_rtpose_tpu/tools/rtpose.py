@@ -77,6 +77,13 @@ def main(argv=None) -> int:
         print(f"warning: caffemodel {args.caffemodel!r} not found; "
               "running with random weights", file=sys.stderr)
 
+    nw, nh = args.net_resolution
+    if nw % 16 or nh % 16:
+        # reference CHECK (rtpose.cpp:360): net dims must be multiples of 16
+        print(f"error: --net_resolution {nw}x{nh} invalid — both dimensions "
+              "must be multiples of 16", file=sys.stderr)
+        return 2
+
     proto = args.caffeproto
     if not os.path.exists(proto):
         # self-contained fallback: our generator emits the identical COCO
