@@ -228,6 +228,36 @@ class Net:
     def layer_dict(self):
         return OrderedDict((i.name, i) for i in self._net.impls)
 
+    @property
+    def _layer_names(self) -> List[str]:
+        """pycaffe Net._layer_names parity."""
+        return [i.name for i in self._net.impls]
+
+    @property
+    def layers(self) -> List["_LayerFacade"]:
+        """pycaffe Net.layers parity: objects with .type and .blobs (the
+        layer's parameter blobs, sharing the .params facades)."""
+        return [_LayerFacade(i.type, self.params.get(i.name, []))
+                for i in self._net.impls]
+
+    @property
+    def top_names(self) -> Dict[str, List[str]]:
+        """pycaffe Net.top_names: {layer: [top blobs]}."""
+        return OrderedDict((i.name, list(i.tops)) for i in self._net.impls)
+
+    @property
+    def bottom_names(self) -> Dict[str, List[str]]:
+        """pycaffe Net.bottom_names: {layer: [bottom blobs]}."""
+        return OrderedDict((i.name, list(i.bottoms)) for i in self._net.impls)
+
+
+class _LayerFacade:
+    """Element of Net.layers (pycaffe exposes .type and .blobs)."""
+
+    def __init__(self, type_: str, blobs):
+        self.type = type_
+        self.blobs = blobs
+
 
 def _pad_batch(arr, batch):
     if len(arr) == batch:

@@ -167,3 +167,15 @@ class TestCoordMapPoolingHW:
             {"kernel_h": 3, "kernel_w": 3, "stride_h": 2, "stride_w": 2}), "y", "x")
         assert (a1, b1) == (2.0, 1.0)
         assert (a2, b2) == (a1, b1)
+
+
+class TestLayersFacade:
+    def test_layers_and_names(self):
+        net = caffe.Net(TINY, caffe.TEST)
+        assert net._layer_names == ["conv1", "relu1", "fc"]
+        assert [l.type for l in net.layers] == ["Convolution", "ReLU", "InnerProduct"]
+        # param blobs shared with net.params facades
+        assert net.layers[0].blobs is not None
+        assert net.layers[0].blobs[0].data.shape == (4, 3, 3, 3)
+        assert net.top_names["conv1"] == ["conv1"]
+        assert net.bottom_names["fc"] == ["conv1"]
