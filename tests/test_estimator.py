@@ -120,3 +120,18 @@ class TestMpiAndMultiScale:
         peaks, score, count = est.fetch(est.run_device(x, nms_threshold=-1.0))
         assert peaks.shape == (18, est.max_peaks + 1, 3)
         assert int(peaks[:, 0, 0].sum()) > 0
+
+
+class TestMpiVariantsEstimator:
+    @pytest.mark.parametrize("name", [
+        "pose_deploy_linevec_4", "pose_deploy_realtime",
+        "pose_deploy_linevec_switch"])
+    def test_variant_runs_through_estimator(self, name):
+        p = f"/root/reference/model/mpi/{name}.prototxt"
+        if not os.path.exists(p):
+            pytest.skip("reference not mounted")
+        est = PoseEstimator(p, net_resolution=(112, 80), seed=1, input_u8=True)
+        x = (np.random.RandomState(0).rand(1, 80, 112, 3) * 255).astype(np.uint8)
+        peaks, score, count = est.fetch(est.run_device(x, nms_threshold=-1.0))
+        assert est.num_parts == 15
+        assert int(peaks[:, 0, 0].sum()) > 0
