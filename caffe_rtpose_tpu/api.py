@@ -17,7 +17,10 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from . import coord_map  # noqa: F401  (caffe.coord_map parity)
+from .core import net_spec  # noqa: F401  (caffe.net_spec parity)
 from .core.net import Net as _CoreNet
+from .core.net_spec import L as layers  # noqa: F401  (caffe.layers parity)
+from .core.net_spec import NetSpec  # noqa: F401
 from .ops import layout
 
 TRAIN = "TRAIN"
