@@ -145,7 +145,9 @@ class DataLayer(HostDataLayer):
         rs = np.random.RandomState(0)
         cur = self.db.new_cursor()
         cur.seek_to_first()
-        for _ in range(self.rand_skip):
+        # rand_skip skips a RANDOM count in [0, rand_skip)
+        # (data_layer.cpp: caffe_rng_rand() % rand_skip)
+        for _ in range(rs.randint(self.rand_skip) if self.rand_skip else 0):
             cur.next()
             if not cur.valid():
                 cur.seek_to_first()
@@ -216,7 +218,8 @@ class ImageDataLayer(HostDataLayer):
     def batches(self):
         rs = np.random.RandomState(0)
         order = list(range(len(self.lines)))
-        pos = self.rand_skip % len(order)
+        # random skip in [0, rand_skip) like image_data_layer.cpp
+        pos = (rs.randint(self.rand_skip) if self.rand_skip else 0) % len(order)
         if self.shuffle:
             rs.shuffle(order)
         while True:
