@@ -176,7 +176,9 @@ class Net:
         import jax.numpy as jnp
 
         self._push_params()
-        inputs = {name: self.blobs[name].data for name in self.inputs}
+        # data-layer tops are not in self.inputs; reuse the batch the last
+        # forward() cached into their blob facades
+        inputs = {name: self.blobs[name].data for name in self._net.input_names}
         diffs = {k: jnp.asarray(v, jnp.float32) for k, v in top_diffs.items()}
         net = self._net
 

@@ -53,41 +53,27 @@ def load_lib(name: str) -> Optional[ctypes.CDLL]:
         return lib
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
-            check=True, capture_output=True,
-        )
-        return True
-    except Exception:
-        return False
-
-
 def load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
-            return None
-        lib.crt_assemble.restype = ctypes.c_int
-        lib.crt_assemble.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-            ctypes.c_int, ctypes.c_float, ctypes.c_int, ctypes.c_int,
-            ctypes.c_float, ctypes.c_float,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
+    lib = load_lib("pose_host")  # shared compile-and-load path
+    if lib is None:
+        return None
+    lib.crt_assemble.restype = ctypes.c_int
+    lib.crt_assemble.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    with _lock:
         _lib = lib
-        return _lib
+    return lib
 
 
 def assemble_native(peaks, pair_score, pair_count, desc, params, scale_xy=(1.0, 1.0),

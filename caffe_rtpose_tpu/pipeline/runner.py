@@ -218,7 +218,7 @@ def frame_source(cfg: PipelineConfig, ui: Optional[UIState] = None) -> Iterator[
             break
         yield idx, img, None
         idx += 1
-        if ui is not None:
+        if ui is not None and not ui.seek_to_frame:
             ui.current_frame = idx
     cap.release()
 
@@ -411,8 +411,9 @@ class RtPosePipeline:
             c = cv2.waitKey(1)
             if c >= 0 and not handle_key(self.ui, c, bool(cfg.video)):
                 self.quit.set()
-            while self.ui.paused and not self.ui.quit and not cfg.video:
-                # image/camera pause loop; video pause is handled at the source
+            while self.ui.paused and not self.ui.quit:
+                # key polling lives here (the only waitKey site); the video
+                # source also sleeps while paused and resumes on unpause
                 c = cv2.waitKey(50)
                 if c >= 0 and not handle_key(self.ui, c, bool(cfg.video)):
                     self.quit.set()
@@ -467,7 +468,10 @@ class RtPosePipeline:
                 out = render_all_parts(canvas, maps, num_parts=P)
             else:
                 paf_idx = P + 1 + 2 * (p2s - P - 3)
-                out = render_paf(canvas, maps, paf_idx)
+                if paf_idx + 1 < maps.shape[0]:
+                    out = render_paf(canvas, maps, paf_idx)
+                else:  # past the last PAF pair: fall back to the pose view
+                    out = self._renderer(canvas, jnp.asarray(poses), n)
         else:
             out = self._renderer(canvas, jnp.asarray(poses), n)
         img = np.clip(np.asarray(out), 0, 255).astype(np.uint8)

@@ -81,8 +81,11 @@ def datum_to_image(datum: dict) -> np.ndarray:
         import cv2
 
         arr = np.frombuffer(datum["data"], np.uint8)
-        img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+        gray = int(datum.get("channels", 3)) == 1
+        img = cv2.imdecode(arr, cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR)
         if img is None:
             raise IOError("image decode failed")
+        if img.ndim == 2:
+            img = img[:, :, None]
         return img
     return np.transpose(datum_to_array(datum), (1, 2, 0))

@@ -108,7 +108,12 @@ def cmd_train(args) -> int:
             ti = iters[min(i, len(iters) - 1)]
             fn = None
             if not tnet.data_layers:
-                t_iter_data = make_data_iter(args.data, tnet)
+                try:
+                    t_iter_data = make_data_iter(args.data, tnet)
+                except ValueError:
+                    print(f"warning: test net #{i} skipped — no usable data "
+                          f"source for {args.data!r}", file=sys.stderr)
+                    continue
                 fn = lambda it, _d=t_iter_data: next(_d)
             test_nets.append((tnet, fn, ti))
 

@@ -101,8 +101,11 @@ class _PyKvdb:
     def commit(self):
         if not self.pending:
             return
-        # append records
-        off = self.data_end
+        # crash safety: append new records AFTER the live index so the old
+        # header+index stay valid until the final (single-block) header
+        # write; a crash mid-commit leaves the previous view intact
+        self.f.seek(0, 2)
+        off = max(self.f.tell(), self.data_end + 8 * len(self.index))
         fresh: List[Tuple[bytes, int]] = []
         buf = bytearray()
         for k, v in self.pending:
@@ -118,6 +121,8 @@ class _PyKvdb:
         items = sorted(merged.items())
         self.f.seek(new_end)
         self.f.write(struct.pack(f"<{len(items)}Q", *(o for _, o in items)))
+        self.f.flush()
+        os.fsync(self.f.fileno())  # records+index durable before the flip
         self.f.seek(0)
         self.f.write(_HEADER.pack(_MAGIC, new_end, len(items)))
         self.f.flush()

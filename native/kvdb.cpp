@@ -158,11 +158,17 @@ int kvdb_put(void* h, const uint8_t* key, int32_t klen, const uint8_t* val,
 }
 
 // Append pending records, rewrite the sorted index + header.
+// Crash safety: records go AFTER the live index, the new index after them,
+// both fsynced before the single-block header flip — an interrupted commit
+// leaves the previous committed view fully readable.
 int kvdb_commit(void* h) {
   Kvdb* db = static_cast<Kvdb*>(h);
   if (!db->writable) return -1;
   if (db->pending.empty()) return 0;
-  uint64_t off = db->data_end;
+  struct stat stc;
+  if (fstat(db->fd, &stc) != 0) return -1;
+  uint64_t off = db->data_end + 8 * db->index.size();
+  if ((uint64_t)stc.st_size > off) off = stc.st_size;
   std::vector<std::pair<std::string, uint64_t>> fresh;  // key -> offset
   std::string buf;
   for (auto& kv : db->pending) {
@@ -222,6 +228,7 @@ int kvdb_commit(void* h) {
   if (pwrite(db->fd, merged.data(), merged.size() * 8, new_end) !=
       (ssize_t)(merged.size() * 8))
     return -1;
+  fsync(db->fd);  // records + new index durable before the header flip
   uint8_t header[kHeaderSize];
   std::memcpy(header, kMagic, 8);
   uint64_t count = merged.size();

@@ -387,3 +387,28 @@ class TestReviewRegressions:
             {"name": "d", "type": "CPMData", "top": ["data", "label"]}]}
         with pytest.raises(NotImplementedError, match="build_pose_db"):
             Net(proto, phase="TRAIN")
+
+
+class TestKvdbCrashSafety:
+    def test_interrupted_commit_preserves_old_view(self, tmp_path):
+        """A commit that dies before the header flip must leave the previous
+        committed state fully readable (records append after the live
+        index; header updates last)."""
+        path = str(tmp_path / "crash.kvdb")
+        _fill(path, [(b"a", b"1"), (b"b", b"2")])
+        size_before = os.path.getsize(path)
+        # simulate a torn commit: garbage appended at EOF, header untouched
+        with open(path, "ab") as f:
+            f.write(b"\x99" * 123)
+        with dbmod.open_db(path, "r") as d:
+            assert len(d) == 2
+            assert d.get(b"a") == b"1" and d.get(b"b") == b"2"
+        # and a real second commit on top still works
+        d = dbmod.open_db(path, "w")
+        txn = d.new_transaction()
+        txn.put(b"c", b"3")
+        txn.commit()
+        assert len(d) == 3 and d.get(b"c") == b"3"
+        assert d.get(b"a") == b"1"
+        d.close()
+        assert os.path.getsize(path) > size_before
