@@ -218,3 +218,64 @@ class TestPipelineStress:
         for f in files:
             with open(f) as fh:
                 assert json.load(fh)["version"] == 0.1
+
+
+class TestVideoSourceUI:
+    def _make_clip(self, tmp_path, n=30):
+        import cv2
+
+        path = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+        for i in range(n):
+            img = np.full((48, 64, 3), i * 8 % 255, np.uint8)
+            w.write(img)
+        w.release()
+        return path
+
+    def test_seek_applies_and_is_not_clobbered(self, tmp_path):
+        from caffe_rtpose_tpu.pipeline.runner import PipelineConfig, UIState, frame_source
+
+        cfg = PipelineConfig(video=self._make_clip(tmp_path), no_display=True)
+        ui = UIState()
+        src = frame_source(cfg, ui)
+        for _ in range(3):
+            next(src)
+        # simulate handle_key 'l' from another thread
+        ui.current_frame += 10
+        ui.seek_to_frame = True
+        idx, _, _ = next(src)
+        assert idx == 12  # last yielded was 2 -> +10 jump, not clobbered back
+
+    def test_quit_stops_source(self, tmp_path):
+        from caffe_rtpose_tpu.pipeline.runner import PipelineConfig, UIState, frame_source
+
+        cfg = PipelineConfig(video=self._make_clip(tmp_path), no_display=True)
+        ui = UIState()
+        src = frame_source(cfg, ui)
+        next(src)
+        ui.quit = True
+        assert list(src) == []
+
+    def test_pause_resumes(self, tmp_path):
+        import threading
+        import time as _t
+
+        from caffe_rtpose_tpu.pipeline.runner import PipelineConfig, UIState, frame_source
+
+        cfg = PipelineConfig(video=self._make_clip(tmp_path), no_display=True)
+        ui = UIState()
+        src = frame_source(cfg, ui)
+        next(src)
+        ui.paused = True
+        got = []
+
+        def consume():
+            got.append(next(src))
+
+        t = threading.Thread(target=consume)
+        t.start()
+        _t.sleep(0.2)
+        assert not got, "source must block while paused"
+        ui.paused = False
+        t.join(timeout=5)
+        assert got and got[0][0] == 1
