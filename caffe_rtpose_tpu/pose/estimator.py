@@ -310,6 +310,7 @@ class PoseEstimator:
             frame_bgr, self.net_w, self.net_h,
             disp_w=disp_w, disp_h=disp_h,
             num_scales=self.num_scales, start_scale=self.start_scale, scale_gap=self.scale_gap,
+            u8=self.input_u8,
         )
         dw = disp_w if disp_w is not None else pf.display.shape[1]
         dh = disp_h if disp_h is not None else pf.display.shape[0]

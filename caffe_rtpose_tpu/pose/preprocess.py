@@ -139,8 +139,11 @@ def preprocess_frame(
     num_scales: int = 1,
     start_scale: float = 1.0,
     scale_gap: float = 0.3,
+    u8: bool = False,
 ) -> PreprocessedFrame:
-    """Full producer-side transform for one frame (getFrameFromDir path)."""
+    """Full producer-side transform for one frame (getFrameFromDir path).
+    ``u8=True`` emits the raw (S, H, W, 3) u8 canvases for estimators built
+    with ``input_u8`` (normalization runs on device)."""
     ori_h, ori_w = img_bgr.shape[:2]
     if disp_w is None or disp_h is None:
         disp_w, disp_h = ori_w, ori_h
@@ -148,7 +151,8 @@ def preprocess_frame(
         scale = 1.0
     else:
         display, scale = warp_to_display(img_bgr, disp_w, disp_h)
-    net_input = make_net_input(display, net_w, net_h, num_scales, start_scale, scale_gap)
+    make = make_net_input_u8 if u8 else make_net_input
+    net_input = make(display, net_w, net_h, num_scales, start_scale, scale_gap)
     return PreprocessedFrame(
         net_input=net_input, display=display, scale=scale, ori_width=ori_w, ori_height=ori_h
     )

@@ -135,3 +135,15 @@ class TestMpiVariantsEstimator:
         peaks, score, count = est.fetch(est.run_device(x, nms_threshold=-1.0))
         assert est.num_parts == 15
         assert int(peaks[:, 0, 0].sum()) > 0
+
+
+class TestEstimateU8:
+    def test_estimate_full_path_with_input_u8(self):
+        """estimate() must build the u8 canvas for input_u8 estimators
+        (regression: run-list crashed with a layout mismatch)."""
+        est = PoseEstimator(REF_COCO, net_resolution=(112, 80), seed=2,
+                            input_u8=True)
+        img = (np.random.RandomState(0).rand(120, 160, 3) * 255).astype(np.uint8)
+        result, pf = est.estimate(img, disp_w=224, disp_h=160)
+        assert pf.net_input.dtype == np.uint8
+        assert result.peaks.shape[0] == 18
