@@ -214,9 +214,10 @@ def batch_norm_training(x: jax.Array, eps: float, channel_axis: int):
 
 
 def mvn(x: jax.Array, normalize_variance: bool, across_channels: bool, eps: float, ndim_caffe: int) -> jax.Array:
-    """Caffe MVN: normalize over (C,)H,W per sample (mvn_layer.cpp)."""
+    """Caffe MVN: normalize over (C,)H,W per sample (mvn_layer.cpp).
+    ``x`` is caffe NCHW layout: per-channel stats reduce over H,W."""
     if x.ndim == 4:
-        axes = (1, 2, 3) if across_channels else (1, 2)
+        axes = (1, 2, 3) if across_channels else (2, 3)
     else:
         axes = tuple(range(1, x.ndim))
     xf = x.astype(jnp.float32)

@@ -1,0 +1,262 @@
+"""Per-layer numpy oracles for every layer type not covered elsewhere —
+the reference's universal per-layer test pattern (src/caffe/test/test_*_layer
+.cpp) expressed as closed-form forward checks on inline net fixtures."""
+
+import numpy as np
+import pytest
+
+from caffe_rtpose_tpu.core.net import Net
+
+RS = np.random.RandomState(0)
+
+
+def run1(layer, shapes, inputs, phase="TEST", out="y"):
+    proto = {
+        "name": "t",
+        "input": list(inputs.keys()),
+        "input_shape": [{"dim": list(s)} for s in shapes],
+        "layer": [layer],
+    }
+    net = Net(proto, phase=phase)
+    return net.forward(dict(inputs), outputs=[out])[out], net
+
+
+class TestElementwiseOracles:
+    def _x(self, *shape):
+        return RS.randn(*shape).astype(np.float32)
+
+    @pytest.mark.parametrize("typ,fn,param", [
+        ("Sigmoid", lambda x: 1 / (1 + np.exp(-x)), {}),
+        ("BNLL", lambda x: np.where(x > 0, x + np.log1p(np.exp(-np.abs(x))),
+                                    np.log1p(np.exp(-np.abs(x)))), {}),
+        ("ELU", lambda x: np.where(x > 0, x, np.expm1(x)), {}),
+        ("Exp", np.exp, {}),
+    ])
+    def test_unary(self, typ, fn, param):
+        x = self._x(2, 3, 4, 4)
+        layer = {"name": "l", "type": typ, "bottom": ["x"], "top": ["y"], **param}
+        y, _ = run1(layer, [x.shape], {"x": x})
+        np.testing.assert_allclose(y, fn(x), rtol=1e-5, atol=1e-6)
+
+    def test_log_with_base_scale_shift(self):
+        x = np.abs(self._x(2, 3)) + 0.5
+        layer = {"name": "l", "type": "Log", "bottom": ["x"], "top": ["y"],
+                 "log_param": {"base": 10.0, "scale": 2.0, "shift": 1.0}}
+        y, _ = run1(layer, [x.shape], {"x": x})
+        np.testing.assert_allclose(y, np.log10(2.0 * x + 1.0), rtol=1e-5)
+
+    def test_prelu_channel_shared_slopes(self):
+        x = self._x(2, 3, 4, 4)
+        layer = {"name": "l", "type": "PReLU", "bottom": ["x"], "top": ["y"],
+                 "prelu_param": {"filler": {"type": "constant", "value": 0.3}}}
+        y, _ = run1(layer, [x.shape], {"x": x})
+        np.testing.assert_allclose(y, np.where(x > 0, x, 0.3 * x), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_tile_and_flatten_and_silence(self):
+        x = self._x(2, 3, 4)
+        y, _ = run1({"name": "l", "type": "Tile", "bottom": ["x"], "top": ["y"],
+                     "tile_param": {"axis": 1, "tiles": 3}}, [x.shape], {"x": x})
+        np.testing.assert_allclose(y, np.tile(x, (1, 3, 1)), rtol=1e-6)
+        x4 = self._x(2, 3, 4, 5)
+        y, _ = run1({"name": "l", "type": "Flatten", "bottom": ["x"], "top": ["y"]},
+                    [x4.shape], {"x": x4})
+        np.testing.assert_allclose(y, x4.reshape(2, -1), rtol=1e-6)
+        # Silence consumes its bottom and produces nothing
+        proto = {
+            "name": "s", "input": ["x"], "input_shape": [{"dim": [2, 3]}],
+            "layer": [
+                {"name": "r", "type": "AbsVal", "bottom": ["x"], "top": ["y"]},
+                {"name": "sil", "type": "Silence", "bottom": ["y"]},
+            ],
+        }
+        net = Net(proto, phase="TEST")
+        assert "y" in net.forward({"x": self._x(2, 3)}, outputs=["y"])
+
+
+class TestNormalizationOracles:
+    def test_softmax(self):
+        x = RS.randn(2, 5).astype(np.float32)
+        y, _ = run1({"name": "l", "type": "Softmax", "bottom": ["x"], "top": ["y"]},
+                    [x.shape], {"x": x})
+        e = np.exp(x - x.max(1, keepdims=True))
+        np.testing.assert_allclose(y, e / e.sum(1, keepdims=True), rtol=1e-5)
+
+    def test_mvn(self):
+        x = RS.randn(2, 3, 4, 4).astype(np.float32)
+        y, _ = run1({"name": "l", "type": "MVN", "bottom": ["x"], "top": ["y"]},
+                    [x.shape], {"x": x})
+        m = x.reshape(2, 3, -1).mean(-1)[..., None, None]
+        v = x.reshape(2, 3, -1).var(-1)[..., None, None]
+        # caffe divides by (std + eps), not sqrt(var + eps) (mvn_layer.cpp)
+        np.testing.assert_allclose(y, (x - m) / (np.sqrt(v) + 1e-9), rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_lrn_across_channels(self):
+        x = np.abs(RS.randn(1, 5, 3, 3)).astype(np.float32)
+        y, _ = run1({"name": "l", "type": "LRN", "bottom": ["x"], "top": ["y"],
+                     "lrn_param": {"local_size": 3, "alpha": 2.0, "beta": 0.75,
+                                   "k": 1.0}}, [x.shape], {"x": x})
+        # oracle: scale_i = k + alpha/n * sum_{j in window} x_j^2
+        want = np.zeros_like(x)
+        for c in range(5):
+            lo, hi = max(0, c - 1), min(5, c + 2)
+            s = 1.0 + (2.0 / 3) * (x[:, lo:hi] ** 2).sum(1)
+            want[:, c] = x[:, c] / s ** 0.75
+        np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+    def test_batchnorm_global_stats(self):
+        x = RS.randn(2, 3, 4, 4).astype(np.float32)
+        net_proto = {
+            "name": "bn", "input": ["x"], "input_shape": [{"dim": list(x.shape)}],
+            "layer": [{"name": "bn", "type": "BatchNorm", "bottom": ["x"],
+                       "top": ["y"], "batch_norm_param": {"use_global_stats": True}}],
+        }
+        net = Net(net_proto, phase="TEST")
+        mean = RS.randn(3).astype(np.float32)
+        var = np.abs(RS.randn(3)).astype(np.float32)
+        import jax.numpy as jnp
+
+        net.params["bn"] = [jnp.asarray(mean), jnp.asarray(var),
+                            jnp.asarray([2.0], jnp.float32)]  # scale factor 2
+        y = net.forward({"x": x})["y"]
+        want = (x - (mean / 2)[None, :, None, None]) / np.sqrt(
+            (var / 2)[None, :, None, None] + 1e-5)
+        np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-4)
+
+
+class TestLossOracles:
+    def test_softmax_with_loss(self):
+        x = RS.randn(4, 3).astype(np.float32)
+        t = np.array([0, 2, 1, 1], np.float32)
+        y, _ = run1({"name": "l", "type": "SoftmaxWithLoss",
+                     "bottom": ["x", "t"], "top": ["y"]},
+                    [x.shape, t.shape], {"x": x, "t": t})
+        e = np.exp(x - x.max(1, keepdims=True))
+        p = e / e.sum(1, keepdims=True)
+        want = -np.mean([np.log(p[i, int(t[i])]) for i in range(4)])
+        np.testing.assert_allclose(y, want, rtol=1e-5)
+
+    def test_sigmoid_cross_entropy(self):
+        x = RS.randn(4, 3).astype(np.float32)
+        t = (RS.rand(4, 3) > 0.5).astype(np.float32)
+        y, _ = run1({"name": "l", "type": "SigmoidCrossEntropyLoss",
+                     "bottom": ["x", "t"], "top": ["y"]},
+                    [x.shape, t.shape], {"x": x, "t": t})
+        # caffe normalizes by batch size (outer num)
+        loss = np.maximum(x, 0) - x * t + np.log1p(np.exp(-np.abs(x)))
+        np.testing.assert_allclose(y, loss.sum() / 4, rtol=1e-5)
+
+    def test_hinge_l1(self):
+        x = RS.randn(4, 3).astype(np.float32)
+        t = np.array([0, 2, 1, 0], np.float32)
+        y, _ = run1({"name": "l", "type": "HingeLoss", "bottom": ["x", "t"],
+                     "top": ["y"]}, [x.shape, t.shape], {"x": x, "t": t})
+        m = x.copy()
+        for i in range(4):
+            m[i, int(t[i])] *= -1
+        np.testing.assert_allclose(y, np.maximum(0, 1 + m).sum() / 4, rtol=1e-5)
+
+    def test_multinomial_logistic(self):
+        p = np.abs(RS.rand(4, 3)).astype(np.float32)
+        p /= p.sum(1, keepdims=True)
+        t = np.array([1, 0, 2, 1], np.float32)
+        y, _ = run1({"name": "l", "type": "MultinomialLogisticLoss",
+                     "bottom": ["p", "t"], "top": ["y"]},
+                    [p.shape, t.shape], {"p": p, "t": t})
+        want = -np.mean([np.log(max(p[i, int(t[i])], 1e-20)) for i in range(4)])
+        np.testing.assert_allclose(y, want, rtol=1e-4)
+
+    def test_contrastive(self):
+        a = RS.randn(4, 5).astype(np.float32)
+        b = RS.randn(4, 5).astype(np.float32)
+        s = np.array([1, 0, 1, 0], np.float32)
+        y, _ = run1({"name": "l", "type": "ContrastiveLoss",
+                     "bottom": ["a", "b", "s"], "top": ["y"],
+                     "contrastive_loss_param": {"margin": 1.0}},
+                    [a.shape, b.shape, s.shape], {"a": a, "b": b, "s": s})
+        d2 = ((a - b) ** 2).sum(1)
+        d = np.sqrt(d2)
+        per = np.where(s > 0, d2, np.maximum(1.0 - d, 0) ** 2)
+        np.testing.assert_allclose(y, per.sum() / (2 * 4), rtol=1e-4)
+
+    def test_euclidean_mask(self):
+        x = RS.randn(2, 4, 3, 3).astype(np.float32)
+        t = RS.randn(2, 4, 3, 3).astype(np.float32)
+        mask = np.array([[1, 0, 1, 1], [0, 1, 0, 1]], np.float32)
+        y, _ = run1({"name": "l", "type": "EuclideanmaskLoss",
+                     "bottom": ["x", "t", "m"], "top": ["y"]},
+                    [x.shape, t.shape, mask.shape],
+                    {"x": x, "t": t, "m": mask})
+        # per-(n,c) gating; background channel (last) always on
+        m = mask.copy()
+        m[:, -1] = 1.0
+        diff = (x - t) * m[:, :, None, None]
+        np.testing.assert_allclose(y, (diff ** 2).sum() / (2 * 2), rtol=1e-4)
+
+
+class TestHeadOracles:
+    def test_accuracy(self):
+        x = np.array([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7]], np.float32)
+        t = np.array([1, 0, 0], np.float32)
+        y, _ = run1({"name": "l", "type": "Accuracy", "bottom": ["x", "t"],
+                     "top": ["y"]}, [x.shape, t.shape], {"x": x, "t": t})
+        np.testing.assert_allclose(y, 2.0 / 3, rtol=1e-6)
+
+    def test_argmax_topk(self):
+        x = RS.randn(2, 5).astype(np.float32)
+        y, _ = run1({"name": "l", "type": "ArgMax", "bottom": ["x"], "top": ["y"],
+                     "argmax_param": {"top_k": 2}}, [x.shape], {"x": x})
+        order = np.argsort(-x, axis=1)[:, :2]
+        np.testing.assert_allclose(y.reshape(2, 2), order.astype(np.float32))
+
+    def test_maximum_layer(self):
+        x = np.zeros((1, 2, 4, 5), np.float32)
+        x[0, 0, 2, 3] = 7.0
+        x[0, 1, 1, 4] = 5.0
+        y, _ = run1({"name": "l", "type": "Maximum", "bottom": ["x"], "top": ["y"]},
+                    [x.shape], {"x": x})
+        out = y.reshape(2, 3)
+        np.testing.assert_allclose(out[0], [3, 2, 7.0])  # (x, y, value)
+        np.testing.assert_allclose(out[1], [4, 1, 5.0])
+
+    def test_embed(self):
+        ids = np.array([[1], [3], [0]], np.float32)
+        proto = {
+            "name": "e", "input": ["x"], "input_shape": [{"dim": [3, 1]}],
+            "layer": [{"name": "emb", "type": "Embed", "bottom": ["x"],
+                       "top": ["y"],
+                       "embed_param": {"num_output": 4, "input_dim": 5,
+                                       "bias_term": False}}],
+        }
+        net = Net(proto, phase="TEST")
+        W = np.asarray(net.params["emb"][0])
+        y = net.forward({"x": ids})["y"]
+        table = W.reshape(5, 4) if W.shape == (5, 4) else W.reshape(5, 4)
+        np.testing.assert_allclose(y.reshape(3, 4),
+                                   table[ids.astype(int).ravel()], rtol=1e-5)
+
+    def test_deconvolution_oracle(self):
+        x = RS.randn(1, 1, 3, 3).astype(np.float32)
+        proto = {
+            "name": "d", "input": ["x"], "input_shape": [{"dim": [1, 1, 3, 3]}],
+            "layer": [{"name": "dc", "type": "Deconvolution", "bottom": ["x"],
+                       "top": ["y"],
+                       "convolution_param": {"num_output": 1, "kernel_size": [3],
+                                             "stride": [2],
+                                             "bias_term": False,
+                                             "weight_filler": {"type": "gaussian",
+                                                               "std": 1.0}}}],
+        }
+        net = Net(proto, phase="TEST")
+        k = np.asarray(net.params["dc"][0])  # internal layout
+        y = net.forward({"x": x})["y"]
+        assert y.shape == (1, 1, 7, 7)
+        # oracle: scatter-accumulate transposed conv
+        impl = net.layer_by_name["dc"]
+        kc = np.asarray(impl.params[0].export_caffe(k)).reshape(1, 1, 3, 3)
+        want = np.zeros((7, 7), np.float32)
+        for i in range(3):
+            for j in range(3):
+                want[2 * i : 2 * i + 3, 2 * j : 2 * j + 3] += x[0, 0, i, j] * kc[0, 0]
+        np.testing.assert_allclose(y[0, 0], want, rtol=1e-4, atol=1e-5)
