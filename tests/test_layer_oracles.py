@@ -260,3 +260,62 @@ class TestHeadOracles:
             for j in range(3):
                 want[2 * i : 2 * i + 3, 2 * j : 2 * j + 3] += x[0, 0, i, j] * kc[0, 0]
         np.testing.assert_allclose(y[0, 0], want, rtol=1e-4, atol=1e-5)
+
+
+class TestLossGradients:
+    """Finite-difference gradient checks on the loss layers (the reference's
+    GradientChecker pattern; kink-free sample points for hinge)."""
+
+    @pytest.mark.parametrize("typ,param,bottoms", [
+        ("SoftmaxWithLoss", {}, "cls"),
+        ("SigmoidCrossEntropyLoss", {}, "bin"),
+        ("EuclideanLoss", {}, "reg"),
+        ("HingeLoss", {}, "cls"),
+        ("ContrastiveLoss", {"contrastive_loss_param": {"margin": 2.0}}, "pair"),
+    ])
+    def test_loss_gradient(self, typ, param, bottoms):
+        import jax
+        import jax.numpy as jnp
+        from jax.test_util import check_grads
+
+        rs = np.random.RandomState(3)
+        if bottoms == "cls":
+            x = rs.randn(4, 3).astype(np.float32) * 2
+            t = np.array([0, 2, 1, 1], np.float32)
+            shapes, inputs = [x.shape, t.shape], {"x": x, "t": t}
+            bot = ["x", "t"]
+        elif bottoms == "bin":
+            x = rs.randn(4, 3).astype(np.float32)
+            t = (rs.rand(4, 3) > 0.5).astype(np.float32)
+            shapes, inputs = [x.shape, t.shape], {"x": x, "t": t}
+            bot = ["x", "t"]
+        elif bottoms == "reg":
+            x = rs.randn(4, 3).astype(np.float32)
+            t = rs.randn(4, 3).astype(np.float32)
+            shapes, inputs = [x.shape, t.shape], {"x": x, "t": t}
+            bot = ["x", "t"]
+        else:  # pair
+            x = rs.randn(4, 5).astype(np.float32)
+            t = rs.randn(4, 5).astype(np.float32) + 3.0  # away from margin kink
+            s = np.array([1, 0, 1, 0], np.float32)
+            shapes = [x.shape, t.shape, s.shape]
+            inputs = {"x": x, "t": t, "s": s}
+            bot = ["x", "t", "s"]
+
+        proto = {
+            "name": "g",
+            "input": list(inputs.keys()),
+            "input_shape": [{"dim": list(s)} for s in shapes],
+            "layer": [{"name": "l", "type": typ, "bottom": bot, "top": ["y"],
+                       **param}],
+        }
+        net = Net(proto, phase="TEST")
+
+        def f(xx):
+            phys = {k: jnp.asarray(v) for k, v in inputs.items()}
+            phys["x"] = xx
+            blobs = net._apply(net.params, phys, jax.random.PRNGKey(0), None, False)
+            return jnp.sum(blobs["y"])
+
+        check_grads(f, (jnp.asarray(x),), order=1, modes=["rev"],
+                    atol=2e-2, rtol=2e-2)
