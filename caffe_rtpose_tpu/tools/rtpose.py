@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--part_to_show", type=int, default=0, help="Part to show from the start.")
     p.add_argument("--frame_limit", type=int, default=None,
                    help="(extension) stop after N frames")
+    p.add_argument("--pair_cap", type=int, default=32,
+                   help="transfer PAF pair scores for the first K peaks/part "
+                        "(exact for frames with <= K peaks/part; 0 = uncapped)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="(extension) CNN compute dtype")
     p.add_argument("--no_weights", action="store_true",
@@ -108,6 +111,7 @@ def main(argv=None) -> int:
         # so only request them when the run starts in a heatmap view
         keep_heatmap=args.part_to_show > 0,
         input_u8=args.part_to_show == 0,
+        pair_cap=args.pair_cap or None,
     )
     cfg = PipelineConfig(
         video=args.video, camera=args.camera, image_dir=args.image_dir,
