@@ -56,10 +56,17 @@ class _Blob:
 class Net:
     """pycaffe-style wrapper over the jitted graph runtime."""
 
-    def __init__(self, prototxt: str, weights: Optional[str] = None, phase: str = TEST, **kw):
+    def __init__(self, prototxt: str, weights: Optional[str] = None, phase: str = TEST,
+                 fetch_all_blobs: bool = True, **kw):
+        """``fetch_all_blobs``: pycaffe semantics refresh EVERY net.blobs[*]
+        .data after forward (the reference aliases device memory; we must
+        transfer).  Pass False to fetch only outputs + requested blobs —
+        much faster for big nets, at the cost of stale intermediate
+        facades."""
         if weights in (TRAIN, TEST):  # Net(proto, phase) signature
             phase, weights = weights, None
         self._proto, self._phase, self._kw = prototxt, phase, dict(kw)
+        self._fetch_all = bool(fetch_all_blobs)
         self._net = _CoreNet(prototxt, phase=phase, **kw)
         self.blobs: "OrderedDict[str, _Blob]" = OrderedDict()
         for name, info in self._net.blob_infos.items():
@@ -154,7 +161,8 @@ class Net:
             if name not in inputs and name not in self._net._data_top_to_layer:
                 inputs[name] = self.blobs[name].data
         want = list(self.outputs) + [b for b in (blobs or []) if b not in self.outputs]
-        fetch = list(dict.fromkeys(want + list(self._net.blob_infos.keys())))
+        extra = list(self._net.blob_infos.keys()) if self._fetch_all else []
+        fetch = list(dict.fromkeys(want + extra))
         out = self._net.forward(inputs, outputs=fetch)
         for name, arr in out.items():
             if name in self.blobs:

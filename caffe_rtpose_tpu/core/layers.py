@@ -214,12 +214,19 @@ def build_deconvolution(ctx: BuildCtx) -> LayerImpl:
     w_caffe_shape = (cin, cout // groups, kh, kw)
     wf, bf = cp.weight_filler, cp.bias_filler
 
+    cin_g, cout_g = cin // groups, cout // groups
+
     def w_import(a):
-        # equivalent direct conv kernel: HWIO with I=Cin, O=Cout, spatially flipped
-        return np.transpose(a, (2, 3, 0, 1))[::-1, ::-1]
+        # equivalent direct grouped-conv kernel: HWIO with I=Cin/g and
+        # O=Cout (group-major), spatially flipped.  Caffe's deconv blob is
+        # (Cin, Cout/g, kh, kw) with the group indexed by Cin-major blocks.
+        a5 = np.asarray(a).reshape(groups, cin_g, cout_g, kh, kw)
+        w = np.transpose(a5, (3, 4, 1, 0, 2)).reshape(kh, kw, cin_g, cout)
+        return w[::-1, ::-1]
 
     def w_export(a):
-        return np.transpose(np.asarray(a)[::-1, ::-1], (2, 3, 0, 1))
+        w = np.asarray(a)[::-1, ::-1].reshape(kh, kw, cin_g, groups, cout_g)
+        return np.transpose(w, (3, 2, 4, 0, 1)).reshape(cin, cout_g, kh, kw)
 
     lr0, dc0 = _param_mults(lv, 0)
     params = [
@@ -704,6 +711,11 @@ def build_eltwise(ctx: BuildCtx) -> LayerImpl:
     ep = ctx.lv.eltwise_param
     op = ep.operation
     coeffs = [float(cf) for cf in ep.coeff] or [1.0] * len(ctx.bottoms)
+    if len(coeffs) != len(ctx.bottoms):
+        # eltwise_layer.cpp CHECK: coeff count must match bottom count
+        raise ValueError(
+            f"layer {ctx.lv.name}: Eltwise takes one coefficient per bottom "
+            f"({len(coeffs)} coeffs vs {len(ctx.bottoms)} bottoms)")
 
     def apply(p, bots, rng, training, knobs=None):
         if op == ELTWISE_OP["PROD"]:
@@ -860,11 +872,13 @@ def build_softmax_loss(ctx: BuildCtx) -> LayerImpl:
     if lp.has("normalize") and not lp.normalize:
         normalization = "BATCH_SIZE"
     flat = _flatten_logits(ctx.bottoms[0])
+    batch_n = int(ctx.bottoms[0].shape_caffe[0])
 
     def apply(p, bots, rng, training, knobs=None):
         logits = flat(bots[0])
         labels = bots[1].reshape(-1)
-        return (op_losses.softmax_cross_entropy(logits, labels, ignore, normalization),)
+        return (op_losses.softmax_cross_entropy(logits, labels, ignore,
+                                                normalization, batch_n),)
 
     return _base(ctx, apply, loss_weights=list(ctx.lv.loss_weight) or [1.0], top_nhwc=[False])
 

@@ -443,6 +443,43 @@ class Net:
                     else:
                         f.create_dataset(b, data=arr, maxshape=(None,) + arr.shape[1:])
 
+    def update_bn_stats(self, next_batch, n_batches: int = 10) -> int:
+        """Recompute BatchNorm running statistics from data.
+
+        The reference updates BN moving averages inside Forward (mutation,
+        batch_norm_layer.cpp); under a pure functional train step the stat
+        blobs are never touched (lr_mult 0).  The TPU-native equivalent is
+        this post-hoc recompute: run ``n_batches`` forwards, average each BN
+        bottom's batch mean/variance, and write them (with scale factor 1)
+        into the layer's stat blobs — call after training, before TEST-phase
+        use.  ``next_batch(i) -> {input: array}``.  Returns the number of
+        BatchNorm layers updated."""
+        bn = [i for i in self.impls if i.type == "BatchNorm"]
+        if not bn:
+            return 0
+        bottoms = list(dict.fromkeys(i.bottoms[0] for i in bn))
+        sums: Dict[str, Any] = {}
+        sqs: Dict[str, Any] = {}
+        for it in range(n_batches):
+            out = self.forward(dict(next_batch(it)), outputs=bottoms)
+            for b in bottoms:
+                arr = np.asarray(out[b], np.float64)
+                axes = (0, 2, 3) if arr.ndim == 4 else tuple(
+                    d for d in range(arr.ndim) if d != 1)
+                m = arr.mean(axis=axes)
+                sq = (arr ** 2).mean(axis=axes)
+                sums[b] = sums.get(b, 0.0) + m
+                sqs[b] = sqs.get(b, 0.0) + sq
+        for impl in bn:
+            b = impl.bottoms[0]
+            mean = (sums[b] / n_batches).astype(np.float32)
+            var = (sqs[b] / n_batches - (sums[b] / n_batches) ** 2).astype(np.float32)
+            self.params[impl.name] = [
+                jnp.asarray(mean), jnp.asarray(np.maximum(var, 0.0)),
+                jnp.asarray([1.0], jnp.float32),
+            ]
+        return len(bn)
+
     def set_input_arrays(self, data: np.ndarray, labels: Optional[np.ndarray] = None) -> None:
         """Bind arrays to the net's MemoryData layer (pycaffe
         Net.set_input_arrays / memory_data_layer.cpp:Reset)."""

@@ -78,8 +78,13 @@ def make_stages(
     n_paf: int,
     n_heat: int,
     stages: int = 6,
+    per_stage=None,
+    final_concat: bool = True,
 ) -> str:
-    """Dual-branch stages; returns the final concat blob name."""
+    """Dual-branch stages; returns the final concat blob name (or the last
+    stage's L1 prediction when ``final_concat=False``).  ``per_stage(t,
+    {"L1": blob, "L2": blob})`` is invoked after each stage's prediction
+    convs — the train builder attaches per-stage losses through it."""
     # stage 1
     prev = {"L1": feat, "L2": feat}
     for i in range(1, 4):
@@ -97,6 +102,8 @@ def make_stages(
         name = f"conv5_5_CPM_{br}"
         layers.append(_conv(name, prev[br], nout, 1, 0))
         prev[br] = name
+    if per_stage is not None:
+        per_stage(1, dict(prev))
 
     last = None
     for t in range(2, stages + 1):
@@ -122,8 +129,12 @@ def make_stages(
             name = f"Mconv7_stage{t}_{br}"
             layers.append(_conv(name, b[br], nout, 1, 0, lr=(4.0, 8.0)))
             b[br] = name
+        if per_stage is not None:
+            per_stage(t, dict(b))
         prev = b
         last = t
+    if not final_concat:
+        return prev["L1"]
     final = f"concat_stage{(last or 1) + 1}"
     layers.append({
         "name": final, "type": "Concat",
@@ -200,24 +211,6 @@ def make_pose_train_net(
         "slice_param": {"axis": 1, "slice_point": [n_paf, n_paf + n_heat, 2 * n_paf + n_heat]},
     })
 
-    # stages with per-stage losses
-    prev = {"L1": feat, "L2": feat}
-    for i in range(1, 4):
-        for br in ("L1", "L2"):
-            name = f"conv5_{i}_CPM_{br}"
-            layers.append(_conv(name, prev[br], 128, 3, 1))
-            layers.append(_relu(f"relu5_{i}_CPM_{br}", name))
-            prev[br] = name
-    for br in ("L1", "L2"):
-        name = f"conv5_4_CPM_{br}"
-        layers.append(_conv(name, prev[br], 512, 1, 0))
-        layers.append(_relu(f"relu5_4_CPM_{br}", name))
-        prev[br] = name
-    for br, nout in (("L1", n_paf), ("L2", n_heat)):
-        name = f"conv5_5_CPM_{br}"
-        layers.append(_conv(name, prev[br], nout, 1, 0))
-        prev[br] = name
-
     def add_losses(stage: int, pred: Dict[str, str]):
         for br, weight, label in (("L1", "vec_weight", "vec_label"),
                                   ("L2", "heat_weight", "heat_label")):
@@ -232,30 +225,10 @@ def make_pose_train_net(
             layers.append({"name": f"loss_stage{stage}_{br}", "type": "EuclideanLoss",
                            "bottom": [wp, wl], "top": [f"loss_stage{stage}_{br}"]})
 
-    add_losses(1, prev)
-    for t in range(2, stages + 1):
-        cat = f"concat_stage{t}"
-        layers.append({"name": cat, "type": "Concat",
-                       "bottom": [prev["L1"], prev["L2"], feat],
-                       "top": [cat], "concat_param": {"axis": 1}})
-        b = {"L1": cat, "L2": cat}
-        for i in range(1, 6):
-            for br in ("L1", "L2"):
-                name = f"Mconv{i}_stage{t}_{br}"
-                layers.append(_conv(name, b[br], 128, 7, 3, lr=(4.0, 8.0)))
-                layers.append(_relu(f"Mrelu{i}_stage{t}_{br}", name))
-                b[br] = name
-        for br in ("L1", "L2"):
-            name = f"Mconv6_stage{t}_{br}"
-            layers.append(_conv(name, b[br], 128, 1, 0, lr=(4.0, 8.0)))
-            layers.append(_relu(f"Mrelu6_stage{t}_{br}", name))
-            b[br] = name
-        for br, nout in (("L1", n_paf), ("L2", n_heat)):
-            name = f"Mconv7_stage{t}_{br}"
-            layers.append(_conv(name, b[br], nout, 1, 0, lr=(4.0, 8.0)))
-            b[br] = name
-        add_losses(t, b)
-        prev = b
+    # identical stage topology to the deploy graph (same layer names, so
+    # train/deploy weights interchange); losses attach via the callback
+    make_stages(layers, feat, n_paf, n_heat, stages,
+                per_stage=add_losses, final_concat=False)
 
     return {
         "name": "pose_train",

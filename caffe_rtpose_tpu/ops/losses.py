@@ -38,9 +38,12 @@ def euclidean_masked(pred: jax.Array, target: jax.Array, mask_nc: jax.Array, cha
 
 
 def softmax_cross_entropy(
-    logits2d: jax.Array, labels: jax.Array, ignore_label=None, normalization: str = "VALID"
+    logits2d: jax.Array, labels: jax.Array, ignore_label=None, normalization: str = "VALID",
+    batch_size: int = 0,
 ) -> jax.Array:
-    """SoftmaxWithLoss over flattened (M, C) logits and (M,) int labels."""
+    """SoftmaxWithLoss over flattened (M, C) logits and (M,) int labels.
+    ``batch_size`` is the ORIGINAL outer N (before spatial flattening) for
+    BATCH_SIZE normalization (softmax_loss_layer.cpp: outer_num_)."""
     m = logits2d.shape[0]
     logp = jax.nn.log_softmax(logits2d.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
@@ -56,7 +59,7 @@ def softmax_cross_entropy(
     if normalization == "FULL":
         return total / m
     if normalization == "BATCH_SIZE":
-        return total / m
+        return total / (batch_size or m)
     # VALID
     return total / jnp.maximum(count, 1)
 

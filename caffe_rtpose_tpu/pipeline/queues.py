@@ -60,19 +60,25 @@ class OrderedBuffer:
     def _drain_locked(self) -> List[Any]:
         out = []
         while self._heap:
-            # consume dropped indices that precede the heap head
-            while self._dropped and self._dropped[0] == self._next:
-                heapq.heappop(self._dropped)
-                self._next += 1
+            # consume dropped/stale indices at or below the next expected
+            # (stale ones arise when an overflow advanced past them)
+            while self._dropped and self._dropped[0] <= self._next:
+                if heapq.heappop(self._dropped) == self._next:
+                    self._next += 1
             head = self._heap[0]
             if head.index == self._next:
                 heapq.heappop(self._heap)
                 self._next += 1
                 out.append(head.item)
+            elif head.index < self._next:
+                # late frame that overflow already skipped past: emit it
+                # immediately, do NOT move _next backwards
+                heapq.heappop(self._heap)
+                out.append(head.item)
             elif len(self._heap) > self.buffer_size:
                 # overflow: emit smallest anyway (buffer_and_order flush)
                 heapq.heappop(self._heap)
-                self._next = head.index + 1
+                self._next = max(self._next, head.index + 1)
                 out.append(head.item)
             else:
                 break

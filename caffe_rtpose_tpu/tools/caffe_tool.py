@@ -60,7 +60,10 @@ def make_data_iter(spec: str, net, batch_hint: int = 0) -> Iterator[Dict[str, np
             i = 0
             while True:
                 idx = [(i + j) % n for j in range(batch)]
-                yield {k: np.asarray(f[k][sorted(set(idx))])[: len(idx)] for k in net.input_names}
+                # per-row reads keep the cyclic order and the full batch even
+                # across the wrap (h5py fancy indexing needs sorted uniques)
+                yield {k: np.stack([np.asarray(f[k][j]) for j in idx])
+                       for k in net.input_names}
                 i = (i + batch) % n
 
         return it()

@@ -83,11 +83,15 @@ def make_label_fn(prm: AugParams, max_people: int = 12):
         valid = (
             (usable_p[:, mid1] > 0) & (usable_p[:, mid2] > 0) & (norm > 0)
         )  # (P, L)
-        # integer bbox (putVecMaps :2072-2075; int(round()) = half-even)
-        min_x = jnp.maximum(jnp.round(jnp.minimum(a[..., 0], b[..., 0]) - thre), 0)
-        max_x = jnp.minimum(jnp.round(jnp.maximum(a[..., 0], b[..., 0]) + thre), gx_n)
-        min_y = jnp.maximum(jnp.round(jnp.minimum(a[..., 1], b[..., 1]) - thre), 0)
-        max_y = jnp.minimum(jnp.round(jnp.maximum(a[..., 1], b[..., 1]) + thre), gy_n)
+        # integer bbox (putVecMaps :2072-2075); std::round = half away
+        # from zero: sign(v)*floor(|v|+0.5)
+        def _cround(v):
+            return jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5)
+
+        min_x = jnp.maximum(_cround(jnp.minimum(a[..., 0], b[..., 0]) - thre), 0)
+        max_x = jnp.minimum(_cround(jnp.maximum(a[..., 0], b[..., 0]) + thre), gx_n)
+        min_y = jnp.maximum(_cround(jnp.minimum(a[..., 1], b[..., 1]) - thre), 0)
+        max_y = jnp.minimum(_cround(jnp.maximum(a[..., 1], b[..., 1]) + thre), gy_n)
 
         def person_step(carry, inp):
             vx, vy = carry

@@ -95,13 +95,14 @@ def make_update_fn(
 
     def update(params, grads, history, lr, it):
         leaves_g = jax.tree_util.tree_leaves(grads)
-        # normalize by iter_size (accumulated grads), then clip by global norm
-        if iter_size != 1:
-            grads = jax.tree_util.tree_map(lambda g: g / iter_size, grads)
+        # caffe order (sgd_solver.cpp): ClipGradients runs on the RAW
+        # accumulated diffs, Normalize (divide by iter_size) comes after
         if clip > 0:
-            gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves_g)) / iter_size
+            gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves_g))
             scale = jnp.where(gnorm > clip, clip / gnorm, 1.0)
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        if iter_size != 1:
+            grads = jax.tree_util.tree_map(lambda g: g / iter_size, grads)
         grads = jax.tree_util.tree_map(regularize, grads, params, decay_mults)
 
         h1 = history["h0"]

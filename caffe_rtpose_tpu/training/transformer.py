@@ -285,10 +285,15 @@ def put_vec_maps(entry_x: np.ndarray, entry_y: np.ndarray, center_a: np.ndarray,
     if norm == 0:
         return
     u = bc / norm
-    min_x = max(int(round(min(a[0], b[0]) - thre)), 0)
-    max_x = min(int(round(max(a[0], b[0]) + thre)), grid_x)
-    min_y = max(int(round(min(a[1], b[1]) - thre)), 0)
-    max_y = min(int(round(max(a[1], b[1]) + thre)), grid_y)
+    # std::round = half away from zero (Python round() is half-to-even);
+    # the negative branch only matters pre-clamp so floor(x+0.5) suffices
+    def _cround(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    min_x = max(int(_cround(min(a[0], b[0]) - thre)), 0)
+    max_x = min(int(_cround(max(a[0], b[0]) + thre)), grid_x)
+    min_y = max(int(_cround(min(a[1], b[1]) - thre)), 0)
+    max_y = min(int(_cround(max(a[1], b[1]) + thre)), grid_y)
     if max_x <= min_x or max_y <= min_y:
         return
     gx = np.arange(min_x, max_x)

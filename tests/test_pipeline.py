@@ -279,3 +279,36 @@ class TestVideoSourceUI:
         ui.paused = False
         t.join(timeout=5)
         assert got and got[0][0] == 1
+
+
+class TestOrderedBufferRegressions:
+    def test_overflow_never_regresses_next(self):
+        from caffe_rtpose_tpu.pipeline.queues import OrderedBuffer
+
+        b = OrderedBuffer(buffer_size=2)
+        # frame 1 emits; 3..6 buffered while 2 is slow -> overflow skips ahead
+        assert b.push(1, "f1") == ["f1"]
+        assert b.push(3, "f3") == []
+        assert b.push(4, "f4") == []
+        out = b.push(5, "f5")  # heap exceeds 2 -> overflow cascade
+        assert out == ["f3", "f4", "f5"]
+        assert b.push(6, "f6") == ["f6"]
+        # the late frame 2 finally arrives: emitted immediately (never
+        # wedges the stream, never moves _next backwards)
+        assert b.push(2, "f2") == ["f2"]
+        assert b.push(7, "f7") == ["f7"]
+
+    def test_stale_dropped_entries_do_not_block(self):
+        from caffe_rtpose_tpu.pipeline.queues import OrderedBuffer
+
+        b = OrderedBuffer(buffer_size=2)
+        b.push_dropped(2)  # dropped early
+        assert b.push(1, "f1") == ["f1"]
+        # overflow jumps past 2 and 3 while they are in flight
+        assert b.push(4, "f4") == []
+        assert b.push(5, "f5") == []
+        out = b.push(6, "f6")  # overflow cascade past the dropped 2
+        assert out == ["f4", "f5", "f6"], out
+        b.push_dropped(7)
+        out = b.push(8, "f8")
+        assert out and out[-1] == "f8", out  # stale drop(2) must not wedge

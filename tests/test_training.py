@@ -288,3 +288,33 @@ class TestTestNets:
         s.step(60)
         after = s.test(0)["l"]
         assert after < before * 0.05, (before, after)
+
+
+class TestBnStats:
+    def test_update_bn_stats_enables_inference(self):
+        """Post-training BN stat recompute: TEST-phase BatchNorm then
+        whitens held-out data from the same distribution."""
+        from caffe_rtpose_tpu.core.net import Net
+
+        proto = {
+            "name": "bn",
+            "input": ["x"],
+            "input_shape": [{"dim": [8, 3, 4, 4]}],
+            "layer": [{"name": "bn", "type": "BatchNorm", "bottom": ["x"],
+                       "top": ["y"]}],
+        }
+        rs = np.random.RandomState(0)
+        mu = np.array([1.0, -2.0, 5.0], np.float32)
+        sd = np.array([0.5, 2.0, 3.0], np.float32)
+
+        def batch(i):
+            return {"x": (rs.randn(8, 3, 4, 4) * sd[None, :, None, None]
+                          + mu[None, :, None, None]).astype(np.float32)}
+
+        test_net = Net(proto, phase="TEST")  # use_global_stats default at TEST
+        n = test_net.update_bn_stats(batch, n_batches=50)
+        assert n == 1
+        y = test_net.forward(batch(99))["y"]
+        # whitened per channel
+        assert np.abs(y.mean(axis=(0, 2, 3))).max() < 0.15
+        assert np.abs(y.std(axis=(0, 2, 3)) - 1).max() < 0.15
