@@ -161,7 +161,10 @@ class Net:
             if name not in inputs and name not in self._net._data_top_to_layer:
                 inputs[name] = self.blobs[name].data
         want = list(self.outputs) + [b for b in (blobs or []) if b not in self.outputs]
-        extra = list(self._net.blob_infos.keys()) if self._fetch_all else []
+        # data-layer tops are always fetched: backward() rebuilds its inputs
+        # from the blob facades, so they must reflect the consumed batch
+        extra = (list(self._net.blob_infos.keys()) if self._fetch_all
+                 else list(self._net._data_top_to_layer.keys()))
         fetch = list(dict.fromkeys(want + extra))
         out = self._net.forward(inputs, outputs=fetch)
         for name, arr in out.items():

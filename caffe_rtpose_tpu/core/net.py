@@ -457,23 +457,21 @@ class Net:
         bn = [i for i in self.impls if i.type == "BatchNorm"]
         if not bn:
             return 0
-        bottoms = list(dict.fromkeys(i.bottoms[0] for i in bn))
-        sums: Dict[str, Any] = {}
-        sqs: Dict[str, Any] = {}
-        for it in range(n_batches):
-            out = self.forward(dict(next_batch(it)), outputs=bottoms)
-            for b in bottoms:
+        # front-to-back (impls are topological): each BN's stats must be
+        # measured AFTER every upstream BN already has correct stats —
+        # otherwise a stacked BN records statistics of garbage-scaled input
+        for impl in bn:
+            b = impl.bottoms[0]
+            s = sq = 0.0
+            for it in range(n_batches):
+                out = self.forward(dict(next_batch(it)), outputs=[b])
                 arr = np.asarray(out[b], np.float64)
                 axes = (0, 2, 3) if arr.ndim == 4 else tuple(
                     d for d in range(arr.ndim) if d != 1)
-                m = arr.mean(axis=axes)
-                sq = (arr ** 2).mean(axis=axes)
-                sums[b] = sums.get(b, 0.0) + m
-                sqs[b] = sqs.get(b, 0.0) + sq
-        for impl in bn:
-            b = impl.bottoms[0]
-            mean = (sums[b] / n_batches).astype(np.float32)
-            var = (sqs[b] / n_batches - (sums[b] / n_batches) ** 2).astype(np.float32)
+                s = s + arr.mean(axis=axes)
+                sq = sq + (arr ** 2).mean(axis=axes)
+            mean = (s / n_batches).astype(np.float32)
+            var = (sq / n_batches - (s / n_batches) ** 2).astype(np.float32)
             self.params[impl.name] = [
                 jnp.asarray(mean), jnp.asarray(np.maximum(var, 0.0)),
                 jnp.asarray([1.0], jnp.float32),

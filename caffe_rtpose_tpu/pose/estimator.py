@@ -108,6 +108,8 @@ class PoseEstimator:
         nms_view = next(lv for lv in self.net.layer_views if lv.name == "nms")
         self.num_parts = int(nms_view.nms_param.num_parts)
         self.max_peaks = int(nms_view.nms_param.max_peaks)
+        if self._pair_cap is not None and int(self._pair_cap) < 1:
+            raise ValueError("pair_cap must be a positive peak count")
         self.eff_peaks = (min(int(self._pair_cap), self.max_peaks)
                           if self._pair_cap else self.max_peaks)
         self.descriptor: ModelDescriptor = for_num_parts(self.num_parts)

@@ -59,11 +59,15 @@ def make_data_iter(spec: str, net, batch_hint: int = 0) -> Iterator[Dict[str, np
         def it():
             i = 0
             while True:
-                idx = [(i + j) % n for j in range(batch)]
-                # per-row reads keep the cyclic order and the full batch even
-                # across the wrap (h5py fancy indexing needs sorted uniques)
-                yield {k: np.stack([np.asarray(f[k][j]) for j in idx])
-                       for k in net.input_names}
+                # bulk contiguous slice + wrap remainder: cyclic order and a
+                # full batch, without h5py's sorted-unique fancy indexing
+                head = min(batch, n - i)
+                yield {
+                    k: (np.asarray(f[k][i : i + batch]) if head == batch
+                        else np.concatenate([np.asarray(f[k][i:n]),
+                                             np.asarray(f[k][: batch - head])]))
+                    for k in net.input_names
+                }
                 i = (i + batch) % n
 
         return it()

@@ -80,6 +80,10 @@ def main(argv=None) -> int:
         print(f"warning: caffemodel {args.caffemodel!r} not found; "
               "running with random weights", file=sys.stderr)
 
+    if args.pair_cap < 0:
+        print("error: --pair_cap must be >= 0", file=sys.stderr)
+        return 2
+
     nw, nh = args.net_resolution
     if nw % 16 or nh % 16:
         # reference CHECK (rtpose.cpp:360): net dims must be multiples of 16

@@ -232,7 +232,7 @@ class TestHeadOracles:
         net = Net(proto, phase="TEST")
         W = np.asarray(net.params["emb"][0])
         y = net.forward({"x": ids})["y"]
-        table = W.reshape(5, 4) if W.shape == (5, 4) else W.reshape(5, 4)
+        table = np.asarray(W).reshape(5, 4)
         np.testing.assert_allclose(y.reshape(3, 4),
                                    table[ids.astype(int).ravel()], rtol=1e-5)
 

@@ -318,3 +318,33 @@ class TestBnStats:
         # whitened per channel
         assert np.abs(y.mean(axis=(0, 2, 3))).max() < 0.15
         assert np.abs(y.std(axis=(0, 2, 3)) - 1).max() < 0.15
+
+
+class TestBnStatsStacked:
+    def test_stacked_bn_updated_front_to_back(self):
+        """A BN downstream of another BN must record stats AFTER the
+        upstream one is fixed (review regression)."""
+        from caffe_rtpose_tpu.core.net import Net
+
+        proto = {
+            "name": "bn2",
+            "input": ["x"],
+            "input_shape": [{"dim": [16, 2, 4, 4]}],
+            "layer": [
+                {"name": "bn1", "type": "BatchNorm", "bottom": ["x"], "top": ["h"]},
+                {"name": "sc", "type": "Power", "bottom": ["h"], "top": ["h2"],
+                 "power_param": {"scale": 3.0, "shift": 1.0}},
+                {"name": "bn2", "type": "BatchNorm", "bottom": ["h2"], "top": ["y"]},
+            ],
+        }
+        rs = np.random.RandomState(0)
+
+        def batch(i):
+            return {"x": (rs.randn(16, 2, 4, 4) * 4.0 + 10.0).astype(np.float32)}
+
+        net = Net(proto, phase="TEST")
+        assert net.update_bn_stats(batch, n_batches=40) == 2
+        y = net.forward(batch(99))["y"]
+        # after front-to-back updates, the final output is whitened
+        assert np.abs(y.mean(axis=(0, 2, 3))).max() < 0.2
+        assert np.abs(y.std(axis=(0, 2, 3)) - 1).max() < 0.2
