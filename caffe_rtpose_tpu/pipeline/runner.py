@@ -202,6 +202,14 @@ def frame_source(cfg: PipelineConfig, ui: Optional[UIState] = None) -> Iterator[
         cap.set(cv2.CAP_PROP_FRAME_HEIGHT, cfg.camera_resolution[1])
     elif cfg.start_frame:
         cap.set(cv2.CAP_PROP_POS_FRAMES, cfg.start_frame)
+    # realtime pacing to the clip's native FPS (rtpose.cpp:448-461);
+    # disabled for offline runs (--no_frame_drops = process every frame
+    # as fast as possible)
+    target_dt = 0.0
+    if cfg.video and not cfg.no_frame_drops:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 0.0
+        target_dt = 1.0 / fps if fps > 0 else 0.0
+    last_t = time.time()
     idx = cfg.start_frame
     while True:
         if ui is not None:
@@ -216,6 +224,11 @@ def frame_source(cfg: PipelineConfig, ui: Optional[UIState] = None) -> Iterator[
         ok, img = cap.read()
         if not ok:
             break
+        if target_dt:
+            now = time.time()
+            if now - last_t < target_dt:
+                time.sleep(target_dt - (now - last_t))
+            last_t = time.time()
         yield idx, img, None
         idx += 1
         if ui is not None and not ui.seek_to_frame:

@@ -312,3 +312,32 @@ class TestOrderedBufferRegressions:
         b.push_dropped(7)
         out = b.push(8, "f8")
         assert out and out[-1] == "f8", out  # stale drop(2) must not wedge
+
+
+class TestVideoPacing:
+    def test_video_paces_to_native_fps(self, tmp_path):
+        """Realtime video reads sleep to the clip's FPS (rtpose.cpp:448-461);
+        --no_frame_drops disables pacing for offline runs."""
+        import time as _t
+
+        import cv2
+
+        from caffe_rtpose_tpu.pipeline.runner import PipelineConfig, frame_source
+
+        path = str(tmp_path / "c.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 20, (32, 24))
+        for i in range(10):
+            w.write(np.full((24, 32, 3), i * 20, np.uint8))
+        w.release()
+
+        paced = PipelineConfig(video=path, no_display=True)
+        t0 = _t.time()
+        n = sum(1 for _ in frame_source(paced))
+        paced_dt = _t.time() - t0
+        assert n == 10
+        assert paced_dt >= 0.35  # ~10 frames at 20 FPS ≈ 0.5 s
+
+        offline = PipelineConfig(video=path, no_display=True, no_frame_drops=True)
+        t0 = _t.time()
+        assert sum(1 for _ in frame_source(offline)) == 10
+        assert _t.time() - t0 < paced_dt
