@@ -282,6 +282,7 @@ class RtPosePipeline:
         self._renderer = None
         self._win_fullscreen = False
         self._warned_no_heatmap = False
+        self._emit_times: List[float] = []
         pc = estimator.params_connect
         self.ui = UIState(
             part_to_show=cfg.part_to_show,
@@ -388,12 +389,55 @@ class RtPosePipeline:
         for ready in reorder.flush():
             self._emit(ready)
 
+    def _overlay_text(self, canvas: np.ndarray, f: Frame) -> np.ndarray:
+        """FPS / people-count / part-name overlay (displayFrame,
+        rtpose.cpp:1317-1362)."""
+        canvas = np.ascontiguousarray(canvas)
+        w = canvas.shape[1]
+        if len(self._emit_times) >= 2:
+            span = self._emit_times[-1] - self._emit_times[0]
+            fps = (len(self._emit_times) - 1) / max(span, 1e-6)
+        else:
+            fps = 0.0
+        if self.cfg.write_frames:
+            label = f"{self.cfg.num_devices * 1.0 / max(fps, 1e-6):4.2f} s/gpu"
+        else:
+            label = f"{fps:4.1f} fps"
+        cv2.putText(canvas, label, (25, 35), cv2.FONT_HERSHEY_SIMPLEX,
+                    0.75, (255, 150, 150), 1)
+        people = f"{f.num_people:4d}"
+        cv2.putText(canvas, people, (w - 98, 37), cv2.FONT_HERSHEY_SIMPLEX,
+                    0.75, (0, 0, 0), 2)
+        cv2.putText(canvas, people, (w - 100, 35), cv2.FONT_HERSHEY_SIMPLEX,
+                    0.75, (150, 150, 255), 2)
+        p2s = self.ui.part_to_show
+        if p2s != 0:
+            desc = self.est.descriptor
+            if p2s - 1 <= desc.num_parts:
+                name = desc.part_names[p2s - 1]
+            else:
+                aff = (p2s - 1 - desc.num_parts - 1) * 2
+                if aff == 0:
+                    name = "PAFs"
+                else:
+                    idx = min(aff - 2 + 1 + desc.num_parts,
+                              len(desc.part_names) - 1)
+                    name = desc.part_names[idx].split("(")[0]
+            cv2.putText(canvas, f"{name:>10s}", (w - 174, 56),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 255, 255), 1)
+        return canvas
+
     def _emit(self, f: Frame):
         cfg = self.cfg
         f.buffered_time = time.time()
         canvas = f.display
         if cfg.write_frames or not cfg.no_display:
             canvas = self._render(f)
+            self._emit_times.append(time.time())
+            if len(self._emit_times) > 30:
+                self._emit_times.pop(0)
+            if not cfg.no_text:
+                canvas = self._overlay_text(canvas, f)
         if cfg.write_frames:
             name = (
                 f"frame{f.video_frame_number:06d}.jpg"
