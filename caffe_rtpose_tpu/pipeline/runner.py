@@ -76,6 +76,7 @@ class PipelineConfig:
     camera_resolution: Tuple[int, int] = (1280, 720)
     start_frame: int = 0
     num_devices: int = 1
+    start_device: int = 0
     start_scale: float = 1.0
     scale_gap: float = 0.3
     num_scales: int = 1
@@ -273,7 +274,8 @@ class RtPosePipeline:
         if cfg.num_devices > 1:
             from ..parallel.inference import DevicePool
 
-            self.pool = DevicePool(estimator, cfg.num_devices)
+            self.pool = DevicePool(estimator, cfg.num_devices,
+                                   start_device=cfg.start_device)
         else:
             self.pool = estimator  # same run_device/fetch interface
         self.quit = threading.Event()

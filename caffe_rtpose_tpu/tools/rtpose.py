@@ -121,7 +121,8 @@ def main(argv=None) -> int:
         video=args.video, camera=args.camera, image_dir=args.image_dir,
         resolution=args.resolution, net_resolution=args.net_resolution,
         camera_resolution=args.camera_resolution, start_frame=args.start_frame,
-        num_devices=args.num_gpu, start_scale=args.start_scale,
+        num_devices=args.num_gpu, start_device=args.start_device,
+        start_scale=args.start_scale,
         scale_gap=args.scale_gap, num_scales=args.num_scales,
         no_frame_drops=args.no_frame_drops, write_frames=args.write_frames,
         write_json=args.write_json,
