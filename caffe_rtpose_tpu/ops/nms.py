@@ -51,6 +51,61 @@ def find_peaks_mask(heat: jax.Array, threshold) -> jax.Array:
     return mask & border
 
 
+def block_keys(mask: jax.Array, h: int, w: int) -> jax.Array:
+    """(C, H, W) bool peak mask -> (C, nb) s32 keys in RASTER-POSITION order.
+
+    Each horizontal pixel pair (y, 2bx)/(y, 2bx+1) collapses to one key
+    (= ``hw - pos`` of its peak, 0 if none): adjacent pixels are 8-neighbors,
+    so two strict maxima can never share a pair — lossless 2x reduction.
+    Crucially, the flattened (y, bx) order equals ascending-position order
+    (the two pixels of a pair are consecutive in raster position), which is
+    what :func:`compact_keys` requires.  A 2x2 block reduction would NOT
+    preserve it: a block can hold an odd-sub-row peak whose position follows
+    an even-sub-row peak of a *later* block.  Built with a strided select
+    over the bool mask — never materializes a full-res s32 key map.
+    """
+    c = mask.shape[0]
+    # odd trailing col is border (never peaks), safe to drop
+    w2 = w - (w % 2)
+    mb = mask[:, :, :w2].reshape(c, h, w2 // 2, 2)
+    m0, m1 = mb[:, :, :, 0], mb[:, :, :, 1]
+    base = (
+        jnp.arange(h, dtype=jnp.int32)[:, None] * w
+        + jnp.arange(w2 // 2, dtype=jnp.int32)[None, :] * 2
+    )
+    # at most one of the pair is set; pick the min raster pos
+    pos = jnp.where(m0, base, base + 1)
+    return jnp.where(m0 | m1, h * w - pos, 0).reshape(c, -1)
+
+
+def compact_keys(kb: jax.Array, hw: int, max_peaks: int):
+    """Raster-order compaction of position-ordered keys WITHOUT a sort.
+
+    kb: (C, nb) s32 keys (= hw - pos, 0 where empty) whose flattened order
+    must equal ascending-position order (see :func:`block_keys`).  The r-th
+    peak then lives at the r-th masked slot: rank with an inclusive cumsum,
+    then find each rank's slot with a searchsorted-style compare-and-count
+    that XLA fuses into one reduction (top_k is a full bitonic sort — it was
+    the single most expensive op in the fused program).
+
+    Returns (peak_pos (C, topk) s32, valid (C, topk) bool, counts (C,) s32).
+    """
+    c, nb = kb.shape
+    mask = kb > 0
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)  # uncapped
+    topk = min(max_peaks, hw)
+    csum = jnp.cumsum(mask.astype(jnp.int32), axis=1)  # non-decreasing
+    ranks = jnp.arange(1, topk + 1, dtype=jnp.int32)
+    idx = jnp.sum(
+        (csum[:, :, None] < ranks[None, None, :]).astype(jnp.int32), axis=1
+    )  # (C, topk) block index of the r-th peak
+    idx = jnp.minimum(idx, nb - 1)
+    kvals = jnp.take_along_axis(kb, idx, axis=1)  # (C, topk)
+    valid = counts[:, None] >= ranks[None, :]
+    peak_pos = jnp.where(valid, hw - kvals, 0)
+    return peak_pos, valid, counts
+
+
 def nms_peaks(
     heat: jax.Array,
     threshold,
@@ -64,48 +119,64 @@ def nms_peaks(
     c, h, w = heat.shape
     heatf = heat.astype(jnp.float32)
     mask = find_peaks_mask(heatf, threshold)  # (C, H, W)
-
-    # Raster-order compaction via top_k over key = (hw - pos) for masked
-    # pixels.  TPU top_k is a full sort, so first reduce 4x: two strict local
-    # maxima can never share a 2x2 block (they would be 8-neighbors), hence a
-    # 2x2 block-max of the keys preserves every peak.
-    pos2d = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    key = jnp.where(mask, h * w - pos2d, 0)  # (C, H, W)
-    # odd trailing row/col are borders (never peaks), safe to drop
-    h2, w2 = h - (h % 2), w - (w % 2)
-    kb = key[:, :h2, :w2].reshape(c, h2 // 2, 2, w2 // 2, 2).max(axis=(2, 4))
-    return peaks_from_keys(heatf, kb, max_peaks)
+    kb = block_keys(mask, h, w)
+    return peaks_from_keys(heatf, kb, max_peaks, ordered=True)
 
 
-def peaks_from_keys(heatf: jax.Array, kb: jax.Array, max_peaks: int) -> jax.Array:
-    """Compaction + refinement half of the NMS: ``kb`` is the 2x2 block-max
-    of the raster keys (from :func:`nms_peaks` or the fused Pallas kernel
-    ops/nms_pallas.upsample_peak_keys)."""
+def peaks_from_keys(
+    heatf: jax.Array, kb: jax.Array, max_peaks: int, ordered: bool = False
+) -> jax.Array:
+    """Compaction + refinement half of the NMS.
+
+    ``ordered=True``: kb comes from :func:`block_keys` (flattened order ==
+    position order) and compaction is the sort-free :func:`compact_keys`.
+    ``ordered=False``: kb is an arbitrary-arrangement key map (e.g. the 2x2
+    block-max from the fused Pallas kernel ops/nms_pallas.upsample_peak_keys,
+    whose block order does NOT match position order) — fall back to top_k,
+    which sorts by key value.
+    """
     c, h, w = heatf.shape
     hw = h * w
     kb = kb.reshape(c, -1)
-    counts = jnp.sum(kb > 0, axis=1).astype(jnp.int32)  # uncapped; one
-    # nonzero block per peak (two strict maxima never share a 2x2 block)
-    topk = min(max_peaks, hw)
-    kvals, _ = jax.lax.top_k(kb, topk)  # descending key = ascending pos
-    valid = kvals > 0  # rank < count
-    peak_pos = jnp.where(valid, hw - kvals, 0)
-    px = (peak_pos % w).astype(jnp.float32)
-    py = (peak_pos // w).astype(jnp.float32)
+    if ordered:
+        peak_pos, valid, counts = compact_keys(kb, hw, max_peaks)
+    else:
+        counts = jnp.sum(kb > 0, axis=1).astype(jnp.int32)
+        topk = min(max_peaks, hw)
+        kvals, _ = jax.lax.top_k(kb, topk)  # descending key = ascending pos
+        valid = kvals > 0
+        peak_pos = jnp.where(valid, hw - kvals, 0)
+    topk = peak_pos.shape[1]
 
-    # 7x7 score-weighted centroid refinement
+    # 7x7 window values gathered from the full-res map
+    yy, xx, in_bounds = _window_coords(peak_pos, h, w)
+    yyc = jnp.clip(yy, 0, h - 1)
+    xxc = jnp.clip(xx, 0, w - 1)
+    flat_idx = yyc * w + xxc  # (C, topk, 49)
+    scores = jnp.take_along_axis(heatf.reshape(c, hw), flat_idx.reshape(c, -1), axis=1).reshape(c, topk, 49)
+    center = jnp.take_along_axis(heatf.reshape(c, hw), peak_pos, axis=1)
+    return _refine_and_pack(scores, center, yy, xx, in_bounds, valid, counts, max_peaks)
+
+
+def _window_coords(peak_pos: jax.Array, h: int, w: int):
+    """(C, topk) peak raster positions -> 7x7 window coords + bounds mask.
+
+    Reference bounds quirk kept: both axes checked against *width*, strict
+    > 0 (nms_layer.cu:78-94); we additionally require yy < h so reads stay
+    inside the channel.
+    """
     offs = np.stack(np.meshgrid(np.arange(-3, 4), np.arange(-3, 4), indexing="ij"), -1).reshape(-1, 2)
     dys = jnp.asarray(offs[:, 0], jnp.int32)  # (49,)
     dxs = jnp.asarray(offs[:, 1], jnp.int32)
     yy = peak_pos[..., None] // w + dys  # (C, topk, 49)
     xx = peak_pos[..., None] % w + dxs
-    # reference bounds quirk: both axes checked against width, strict > 0;
-    # we additionally require yy < h so reads stay inside the channel.
     in_bounds = (yy > 0) & (yy < w) & (yy < h) & (xx > 0) & (xx < w)
-    yyc = jnp.clip(yy, 0, h - 1)
-    xxc = jnp.clip(xx, 0, w - 1)
-    flat_idx = yyc * w + xxc  # (C, topk, 49)
-    scores = jnp.take_along_axis(heatf.reshape(c, hw), flat_idx.reshape(c, -1), axis=1).reshape(c, topk, 49)
+    return yy, xx, in_bounds
+
+
+def _refine_and_pack(scores, center, yy, xx, in_bounds, valid, counts, max_peaks):
+    """Score-weighted 7x7 centroid + output packing (nms_layer.cu:74-113)."""
+    c, topk = center.shape
     use = in_bounds & (scores > 0)
     scores = jnp.where(use, scores, 0.0)
     wsum = jnp.sum(scores, axis=-1)
@@ -114,7 +185,6 @@ def peaks_from_keys(heatf: jax.Array, kb: jax.Array, max_peaks: int) -> jax.Arra
     safe = jnp.where(wsum > 0, wsum, 1.0)
     x_ref = x_acc / safe
     y_ref = y_acc / safe
-    center = jnp.take_along_axis(heatf.reshape(c, hw), peak_pos, axis=1)
 
     rows = jnp.stack(
         [
@@ -131,3 +201,62 @@ def peaks_from_keys(heatf: jax.Array, kb: jax.Array, max_peaks: int) -> jax.Arra
         jnp.minimum(counts, max_peaks).astype(jnp.float32)
     )
     return jnp.concatenate([head, rows], axis=1)  # (C, max_peaks+1, 3)
+
+
+def refined_peaks_lowres(
+    parts_low: jax.Array,  # (S, h, w, P) low-res part maps (NHWC)
+    heat: jax.Array,  # (P, th, tw) the upsampled scale-averaged maps
+    threshold,
+    max_peaks: int,
+    start_scale: float,
+    scale_gap: float,
+) -> jax.Array:
+    """NMS peaks with the 7x7 refinement windows *recomputed from low-res*
+    via bicubic weight matmuls instead of gathered from the full-res map.
+
+    The upsampled value at integer coords (Y, X) is
+    ``mean_n Ay_n[Y] @ src_n @ Ax_n[X]^T`` (see ops/imresize.py), so the 49
+    window values per peak become two tiny batched MXU contractions
+    (~30 MFLOP) — replacing a 49-tap scalarized gather over the 368x656 map
+    that measured ~1 ms/frame.  Used by the estimator's fused program where
+    the low-res source is at hand; bit-equality with the gather path is NOT
+    guaranteed (same math, different accumulation order) but differences are
+    ~1e-6 relative, far inside the 1px/0.01 parity budget.
+    """
+    from .imresize import axis_weights_dense, scale_pads
+
+    s, h, w, p = parts_low.shape
+    c, th, tw = heat.shape
+    heatf = heat.astype(jnp.float32)
+    mask = find_peaks_mask(heatf, threshold)
+    kb = block_keys(mask, th, tw)
+    peak_pos, valid, counts = compact_keys(kb.reshape(c, -1), th * tw, max_peaks)
+    topk = peak_pos.shape[1]
+
+    yy, xx, in_bounds = _window_coords(peak_pos, th, tw)
+    # 49 = dy-major: yy varies along the dy axis, xx along the dx axis
+    yyc = jnp.clip(yy, 0, th - 1).reshape(c, topk, 7, 7)[:, :, :, 0]  # (C, topk, 7)
+    xxc = jnp.clip(xx, 0, tw - 1).reshape(c, topk, 7, 7)[:, :, 0, :]  # (C, topk, 7)
+    src = parts_low.astype(jnp.float32)
+    planes = jnp.moveaxis(src, -1, 1)[:, :c]  # (S, C, h, w)
+
+    win = jnp.zeros((c, topk, 7, 7), jnp.float32)
+    for n in range(s):
+        padh, padw = scale_pads(h, w, n, start_scale, scale_gap)
+        Yw = axis_weights_dense(yyc.reshape(-1), h, padh, th).reshape(c, topk * 7, h)
+        Xw = axis_weights_dense(xxc.reshape(-1), w, padw, tw).reshape(c, topk, 7, w)
+        t1 = jnp.einsum(
+            "cmh,chw->cmw", Yw, planes[n],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(c, topk, 7, w)
+        win = win + jnp.einsum(
+            "ckyw,ckxw->ckyx", t1, Xw,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    win = win / s
+
+    scores = win.reshape(c, topk, 49)
+    center = win[:, :, 3, 3]
+    return _refine_and_pack(scores, center, yy, xx, in_bounds, valid, counts, max_peaks)

@@ -146,7 +146,7 @@ class PoseEstimator:
         start_scale, scale_gap = self.start_scale, self.scale_gap
 
         from ..ops.imresize import imresize_average
-        from ..ops.nms import nms_peaks
+        from ..ops.nms import nms_peaks, refined_peaks_lowres
 
         input_u8 = self.input_u8
         num_scales = self.num_scales
@@ -196,7 +196,9 @@ class PoseEstimator:
                 else:
                     resized = imresize_average(parts_low, th, tw, start_scale, scale_gap)
                     heat = jnp.transpose(resized[0], (2, 0, 1))  # (P, th, tw)
-                    peaks = nms_peaks(heat, nms_threshold, max_peaks)
+                    peaks = refined_peaks_lowres(
+                        parts_low[..., :num_parts], heat, nms_threshold,
+                        max_peaks, start_scale, scale_gap)
                 if eff_peaks < max_peaks:
                     # first-K truncation in raster order (reference peak
                     # indexing is ordinal, so this is exact for counts <= K)
