@@ -90,6 +90,7 @@ class PipelineConfig:
     frame_limit: Optional[int] = None  # extension: bound processed frames
     fetchers: int = 4
     queue_depth: int = 8
+    dispatchers: int = 1  # upload/dispatch threads (overlap H2D with dispatch)
 
 
 @dataclass
@@ -281,6 +282,12 @@ class RtPosePipeline:
         self.quit = threading.Event()
         self.stats: List[Dict[str, float]] = []
         self.processed = 0
+        # optional injected source of (frame_number, bgr, path) tuples —
+        # used by bench.py to feed synthetic frames through the production
+        # pipeline (preprocess included) without video IO
+        self.frame_iter: Optional[Iterator[Tuple[int, np.ndarray, Optional[str]]]] = None
+        self._disp_lock = threading.Lock()
+        self._disp_live = 0
         self._renderer = None
         self._win_fullscreen = False
         self._warned_no_heatmap = False
@@ -305,7 +312,9 @@ class RtPosePipeline:
         cfg = self.cfg
         dw, dh = cfg.resolution
         count = 0
-        for vfn, img, path in frame_source(cfg, self.ui):
+        source = (self.frame_iter if self.frame_iter is not None
+                  else frame_source(cfg, self.ui))
+        for vfn, img, path in source:
             if self.quit.is_set():
                 break
             if cfg.frame_limit is not None and count >= cfg.frame_limit:
@@ -327,25 +336,55 @@ class RtPosePipeline:
         input_q.put(None)
 
     def _dispatcher(self, input_q: BlockingQueue, inflight_q: BlockingQueue, reorder: OrderedBuffer):
+        """Pop frames, group into estimator-batch-sized device launches.
+
+        When the estimator was built with ``batch > 1``, each launch carries
+        a stack of frames (amortizing dispatch + fetch round-trips — the
+        remote-chip RTT dominates per-call cost); a trailing partial batch is
+        padded by repeating the last frame and the padding is discarded at
+        fetch.  Multiple dispatcher threads overlap host->device uploads.
+        """
         cfg = self.cfg
+        B = max(1, getattr(self.est, "batch", 1))
         while True:
-            f = input_q.get()
-            if f is None:
-                for _ in range(cfg.fetchers):
-                    inflight_q.put(None)
+            batch: List[Frame] = []
+            done = False
+            while len(batch) < B:
+                f = input_q.get()
+                if f is None:
+                    done = True
+                    break
+                # drop policy (rtpose.cpp:1112-1124)
+                if not cfg.no_frame_drops and time.time() - f.commit_time > 0.1:
+                    reorder.push_dropped(f.index)
+                    continue
+                batch.append(f)
+            if batch:
+                # per-frame threshold injection (NmsLayer::SetThreshold +
+                # connect globals, rtpose.cpp:1145 + handleKey tuning)
+                if B == 1:
+                    x = batch[0].net_input
+                else:
+                    pad = [batch[-1].net_input] * (B - len(batch))
+                    x = np.stack([f.net_input for f in batch] + pad)
+                out = self.pool.run_device(
+                    x,
+                    nms_threshold=self.ui.nms_threshold,
+                    inter_threshold=self.ui.inter_threshold,
+                )
+                inflight_q.put((batch, out))
+            if done:
+                # wake sibling dispatchers, then signal the fetchers once
+                # the last dispatcher drains (they share one counter)
+                with self._disp_lock:
+                    self._disp_live -= 1
+                    last = self._disp_live == 0
+                if not last:
+                    input_q.put(None)
+                else:
+                    for _ in range(cfg.fetchers):
+                        inflight_q.put(None)
                 return
-            # drop policy (rtpose.cpp:1112-1124)
-            if not cfg.no_frame_drops and time.time() - f.commit_time > 0.1:
-                reorder.push_dropped(f.index)
-                continue
-            # per-frame threshold injection (NmsLayer::SetThreshold +
-            # connect globals, rtpose.cpp:1145 + handleKey tuning)
-            out = self.pool.run_device(
-                f.net_input,
-                nms_threshold=self.ui.nms_threshold,
-                inter_threshold=self.ui.inter_threshold,
-            )
-            inflight_q.put((f, out))
 
     def _fetcher(self, inflight_q: BlockingQueue, output_q: BlockingQueue):
         import dataclasses
@@ -353,12 +392,13 @@ class RtPosePipeline:
         est = self.est
         dw, dh = self.cfg.resolution
         scale_xy = (dw / float(est.net_w), dh / float(est.net_h))
+        B = max(1, getattr(est, "batch", 1))
         while True:
             item = inflight_q.get()
             if item is None:
                 output_q.put(None)
                 return
-            f, out = item
+            frames, out = item
             ui = self.ui
             pc = dataclasses.replace(
                 est.params_connect,
@@ -367,16 +407,22 @@ class RtPosePipeline:
                 min_subset_cnt=ui.min_subset_cnt,
                 inter_min_above_threshold=ui.inter_min_above_threshold,
             )
-            peaks, ps, cnt = est.fetch(out)
-            res = C.assemble_fast(peaks, ps, cnt, est.descriptor, pc, scale_xy)
-            f.joints = res.joints
-            f.num_people = res.num_people
-            if est.keep_heatmap and isinstance(out, dict) and "heatmap" in out:
-                import jax as _jax
+            if B == 1:
+                f = frames[0] if isinstance(frames, list) else frames
+                results = [(f, est.fetch(out))]
+            else:
+                rows = est.fetch_batch(out)  # one fetch RTT for the batch
+                results = list(zip(frames, rows))  # zip drops padding rows
+            for f, (peaks, ps, cnt) in results:
+                res = C.assemble_fast(peaks, ps, cnt, est.descriptor, pc, scale_xy)
+                f.joints = res.joints
+                f.num_people = res.num_people
+                if est.keep_heatmap and isinstance(out, dict) and "heatmap" in out:
+                    import jax as _jax
 
-                f.heatmap = np.asarray(_jax.device_get(out["heatmap"]))
-            f.gpu_fetched_time = f.postprocessed_time = time.time()
-            output_q.put(f)
+                    f.heatmap = np.asarray(_jax.device_get(out["heatmap"]))
+                f.gpu_fetched_time = f.postprocessed_time = time.time()
+                output_q.put(f)
 
     def _writer(self, output_q: BlockingQueue, reorder: OrderedBuffer):
         cfg = self.cfg
@@ -573,24 +619,31 @@ class RtPosePipeline:
         # warm up (compile) before any frame enters the pipeline, like the
         # reference's warmup() dry-run Forward (rtpose.cpp:233-236) —
         # otherwise the first compile trips the 0.1 s drop policy
+        B = max(1, getattr(self.est, "batch", 1))
         shape = ((cfg.num_scales, cfg.net_resolution[1], cfg.net_resolution[0], 3)
                  if self.est.input_u8
                  else (cfg.num_scales, 3, cfg.net_resolution[1], cfg.net_resolution[0]))
+        if B > 1:
+            shape = (B,) + shape
         dummy = (np.zeros(shape, np.uint8) if self.est.input_u8
                  else np.zeros(shape, np.float32))
+        fetch1 = self.est.fetch_batch if B > 1 else self.est.fetch
         if cfg.num_devices > 1:
             for i in range(cfg.num_devices):
-                self.est.fetch(self.pool.run_device(dummy, device_index=i))
+                fetch1(self.pool.run_device(dummy, device_index=i))
         else:
-            self.est.fetch(self.pool.run_device(dummy))
-        input_q = BlockingQueue(maxsize=10)  # backpressure (rtpose.cpp:424-430)
+            fetch1(self.pool.run_device(dummy))
+        input_q = BlockingQueue(maxsize=max(10, B * cfg.dispatchers))  # backpressure (rtpose.cpp:424-430)
         inflight_q = BlockingQueue(maxsize=cfg.queue_depth)
         output_q = BlockingQueue()
         reorder = OrderedBuffer()
 
+        self._disp_live = max(1, cfg.dispatchers)
         threads = [
             threading.Thread(target=self._producer, args=(input_q,), name="producer"),
-            threading.Thread(target=self._dispatcher, args=(input_q, inflight_q, reorder), name="dispatch"),
+        ] + [
+            threading.Thread(target=self._dispatcher, args=(input_q, inflight_q, reorder), name=f"dispatch{i}")
+            for i in range(max(1, cfg.dispatchers))
         ]
         threads += [
             threading.Thread(target=self._fetcher, args=(inflight_q, output_q), name=f"fetch{i}")
@@ -605,6 +658,8 @@ class RtPosePipeline:
             t.join()
         writer.join()
         dt = time.time() - t0
+        self.wall_s = dt  # excludes warmup/compile (t0 is post-warmup)
+        self.fps = self.processed / dt if dt > 0 else 0.0
         if self.processed:
-            print(f"Processed {self.processed} frames in {dt:.2f}s ({self.processed/dt:.2f} FPS)")
+            print(f"Processed {self.processed} frames in {dt:.2f}s ({self.fps:.2f} FPS)")
         return self.processed

@@ -295,8 +295,14 @@ class PoseEstimator:
         params_connect: Optional[ConnectParams] = None,
     ) -> PoseResult:
         pc = params_connect or self.params_connect
-        out = self.run_device(net_input, nms_threshold=nms_threshold, inter_threshold=pc.inter_threshold)
-        peaks, pair_score, pair_count = self.fetch(out)
+        if self.batch > 1:
+            # batch-compiled program: pad the single frame to a full batch
+            x = np.broadcast_to(np.asarray(net_input), (self.batch,) + np.asarray(net_input).shape)
+            out = self.run_device(x, nms_threshold=nms_threshold, inter_threshold=pc.inter_threshold)
+            peaks, pair_score, pair_count = self.fetch_batch(out)[0]
+        else:
+            out = self.run_device(net_input, nms_threshold=nms_threshold, inter_threshold=pc.inter_threshold)
+            peaks, pair_score, pair_count = self.fetch(out)
         res = C.assemble_fast(peaks, pair_score, pair_count, self.descriptor, pc, scale_xy)
         hm = np.asarray(jax.device_get(out["heatmap"])) if self.keep_heatmap else None
         return PoseResult(joints=res.joints, num_people=res.num_people, peaks=peaks, heatmap=hm)

@@ -31,6 +31,12 @@ def warp_to_display(img_bgr: np.ndarray, disp_w: int, disp_h: int) -> Tuple[np.n
     if cv2 is None:
         raise RuntimeError("OpenCV unavailable")
     scale = display_scale(img_bgr.shape[1], img_bgr.shape[0], disp_w, disp_h)
+    if scale == 1.0 and img_bgr.shape[:2] == (disp_h, disp_w):
+        # identity warp: bicubic at exact integer sample points copies the
+        # pixel (Catmull-Rom weights collapse to (0,1,0,0)), so skipping the
+        # warpAffine is byte-identical — and it is ~22 ms/frame of single
+        # -core host time at 720p, the realtime producer's biggest cost
+        return img_bgr, scale
     M = np.array([[scale, 0, 0], [0, scale, 0]], np.float64)
     warped = cv2.warpAffine(
         img_bgr, M, (disp_w, disp_h), flags=cv2.INTER_CUBIC,
