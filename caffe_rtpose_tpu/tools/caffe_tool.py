@@ -41,6 +41,21 @@ def make_data_iter(spec: str, net, batch_hint: int = 0) -> Iterator[Dict[str, np
 
         batch = net.blob_infos[net.input_names[0]].shape_caffe[0]
         return prefetch_loader(pose_batches(SyntheticPoseSource(), AugParams(), batch))
+    if spec.startswith(("cpm-lmdb:", "pose-db:")):
+        # train straight from a reference genLMDB-format DB (binary Datum
+        # records, training/cpm_lmdb.py) or from our own pose kvdb
+        from ..training.datasets import pose_batches, prefetch_loader
+        from ..training.transformer import AugParams
+
+        kind, path = spec.split(":", 1)
+        if kind == "cpm-lmdb":
+            from ..training.cpm_lmdb import CpmDatumSource
+            source = CpmDatumSource(path)
+        else:
+            from ..training.pose_db import PoseDbSource
+            source = PoseDbSource(path)
+        batch = net.blob_infos[net.input_names[0]].shape_caffe[0]
+        return prefetch_loader(pose_batches(source, AugParams(), batch))
     if spec.endswith(".npz"):
         arrs = dict(np.load(spec))
 
