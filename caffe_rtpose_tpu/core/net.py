@@ -101,6 +101,12 @@ class Net:
                 net_param = prototxt.parse_file(proto)
         else:
             net_param = proto
+        if net_param.get("layers"):
+            # legacy V0/V1 prototxt: run the UpgradeNetAsNeeded chain
+            # (reference upgrade_proto.cpp:20-76) before building
+            from ..proto.upgrade import upgrade_net_as_needed
+
+            net_param = upgrade_net_as_needed(dict(net_param))
         self.net_param = net_param
         self.phase = phase
         self.dtype = dtype

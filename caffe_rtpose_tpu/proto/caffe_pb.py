@@ -636,21 +636,39 @@ V1_TO_V2_TYPE = {
 }
 
 SCHEMA["V1LayerParameter"] = _msg(
+    _f(1, "layer", "message", message="V0LayerParameter"),
     _f(2, "bottom", "string", repeated=True),
     _f(3, "top", "string", repeated=True),
     _f(4, "name", "string"),
+    _f(32, "include", "message", repeated=True, message="NetStateRule"),
+    _f(33, "exclude", "message", repeated=True, message="NetStateRule"),
     _f(5, "type", "enum", enum=V1_LAYER_TYPE),
     _f(6, "blobs", "message", repeated=True, message="BlobProto"),
+    _f(1001, "param", "string", repeated=True),
+    _f(1002, "blob_share_mode", "enum", repeated=True, enum=DIM_CHECK_MODE),
     _f(7, "blobs_lr", "float", repeated=True),
     _f(8, "weight_decay", "float", repeated=True),
     _f(35, "loss_weight", "float", repeated=True),
+    _f(27, "accuracy_param", "message", message="AccuracyParameter"),
+    _f(23, "argmax_param", "message", message="ArgMaxParameter"),
     _f(9, "concat_param", "message", message="ConcatParameter"),
+    _f(40, "contrastive_loss_param", "message",
+       message="ContrastiveLossParameter"),
     _f(10, "convolution_param", "message", message="ConvolutionParameter"),
+    _f(11, "data_param", "message", message="DataParameter"),
     _f(12, "dropout_param", "message", message="DropoutParameter"),
+    _f(26, "dummy_data_param", "message", message="DummyDataParameter"),
     _f(24, "eltwise_param", "message", message="EltwiseParameter"),
     _f(41, "exp_param", "message", message="ExpParameter"),
+    _f(13, "hdf5_data_param", "message", message="HDF5DataParameter"),
+    _f(14, "hdf5_output_param", "message", message="HDF5OutputParameter"),
+    _f(29, "hinge_loss_param", "message", message="HingeLossParameter"),
+    _f(15, "image_data_param", "message", message="ImageDataParameter"),
+    _f(16, "infogain_loss_param", "message", message="InfogainLossParameter"),
     _f(17, "inner_product_param", "message", message="InnerProductParameter"),
     _f(18, "lrn_param", "message", message="LRNParameter"),
+    _f(22, "memory_data_param", "message", message="MemoryDataParameter"),
+    _f(34, "mvn_param", "message", message="MVNParameter"),
     _f(19, "pooling_param", "message", message="PoolingParameter"),
     _f(21, "power_param", "message", message="PowerParameter"),
     _f(30, "relu_param", "message", message="ReLUParameter"),
@@ -659,6 +677,53 @@ SCHEMA["V1LayerParameter"] = _msg(
     _f(31, "slice_param", "message", message="SliceParameter"),
     _f(37, "tanh_param", "message", message="TanHParameter"),
     _f(25, "threshold_param", "message", message="ThresholdParameter"),
+    _f(20, "window_data_param", "message", message="WindowDataParameter"),
+    _f(36, "transform_param", "message",
+       message="TransformationParameter"),
+    _f(42, "loss_param", "message", message="LossParameter"),
+)
+
+# Pre-V1 layer format (caffe.proto:1366-1456): a flat bag of per-type knobs
+# dissected by UpgradeV0LayerParameter (upgrade_proto.cpp:190-540).
+SCHEMA["V0LayerParameter"] = _msg(
+    _f(1, "name", "string"),
+    _f(2, "type", "string"),
+    _f(3, "num_output", "uint32"),
+    _f(4, "biasterm", "bool", default=True),
+    _f(5, "weight_filler", "message", message="FillerParameter"),
+    _f(6, "bias_filler", "message", message="FillerParameter"),
+    _f(7, "pad", "uint32", default=0),
+    _f(8, "kernelsize", "uint32"),
+    _f(9, "group", "uint32", default=1),
+    _f(10, "stride", "uint32", default=1),
+    _f(11, "pool", "enum", enum=POOL_METHOD, default=0),
+    _f(12, "dropout_ratio", "float", default=0.5),
+    _f(13, "local_size", "uint32", default=5),
+    _f(14, "alpha", "float", default=1.0),
+    _f(15, "beta", "float", default=0.75),
+    _f(22, "k", "float", default=1.0),
+    _f(16, "source", "string"),
+    _f(17, "scale", "float", default=1.0),
+    _f(18, "meanfile", "string"),
+    _f(19, "batchsize", "uint32"),
+    _f(20, "cropsize", "uint32", default=0),
+    _f(21, "mirror", "bool", default=False),
+    _f(50, "blobs", "message", repeated=True, message="BlobProto"),
+    _f(51, "blobs_lr", "float", repeated=True),
+    _f(52, "weight_decay", "float", repeated=True),
+    _f(53, "rand_skip", "uint32", default=0),
+    _f(54, "det_fg_threshold", "float", default=0.5),
+    _f(55, "det_bg_threshold", "float", default=0.5),
+    _f(56, "det_fg_fraction", "float", default=0.25),
+    _f(58, "det_context_pad", "uint32", default=0),
+    _f(59, "det_crop_mode", "string", default="warp"),
+    _f(60, "new_num", "int32", default=0),
+    _f(61, "new_channels", "int32", default=0),
+    _f(62, "new_height", "int32", default=0),
+    _f(63, "new_width", "int32", default=0),
+    _f(64, "shuffle_images", "bool", default=False),
+    _f(65, "concat_dim", "uint32", default=1),
+    _f(1001, "hdf5_output_param", "message", message="HDF5OutputParameter"),
 )
 
 

@@ -47,21 +47,27 @@ def array_to_blob(arr: np.ndarray) -> Dict[str, Any]:
 
 
 def load_net_parameter(path: str) -> Dict[str, Any]:
-    """Read a binary NetParameter, upgrading legacy V1 layers to V2 dicts."""
+    """Read a binary NetParameter, running the full legacy upgrade chain
+    (V0 padding/param migration, data-transform hoist, V1->V2)."""
+    from .upgrade import upgrade_net_as_needed
+
     with open(path, "rb") as f:
         buf = f.read()
     msg = wire.decode(buf, caffe_pb.SCHEMA, "NetParameter")
-    if "layer" not in msg and "layers" in msg:
-        msg["layer"] = [_upgrade_v1_layer(l) for l in msg.pop("layers")]
-    return msg
+    return upgrade_net_as_needed(msg)
 
 
 _V1_COPY_FIELDS = (
-    "bottom", "top", "name", "blobs", "loss_weight",
-    "concat_param", "convolution_param", "dropout_param", "eltwise_param",
-    "exp_param", "inner_product_param", "lrn_param", "pooling_param",
+    "bottom", "top", "name", "blobs", "loss_weight", "include", "exclude",
+    "accuracy_param", "argmax_param", "concat_param",
+    "contrastive_loss_param", "convolution_param", "data_param",
+    "dropout_param", "dummy_data_param", "eltwise_param", "exp_param",
+    "hdf5_data_param", "hdf5_output_param", "hinge_loss_param",
+    "image_data_param", "infogain_loss_param", "inner_product_param",
+    "lrn_param", "memory_data_param", "mvn_param", "pooling_param",
     "power_param", "relu_param", "sigmoid_param", "softmax_param",
-    "slice_param", "tanh_param", "threshold_param",
+    "slice_param", "tanh_param", "threshold_param", "window_data_param",
+    "transform_param", "loss_param",
 )
 
 
@@ -72,6 +78,25 @@ def _upgrade_v1_layer(v1: Dict[str, Any]) -> Dict[str, Any]:
             out[k] = v1[k]
     t = v1.get("type")
     out["type"] = caffe_pb.V1_TO_V2_TYPE.get(t, str(t)) if t is not None else ""
+    # param names / share modes / lr & decay mults merge positionally into
+    # ParamSpec entries (upgrade_proto.cpp:705-735)
+    specs: list = []
+
+    def spec(i):
+        while len(specs) <= i:
+            specs.append({})
+        return specs[i]
+
+    for i, name in enumerate(v1.get("param", [])):
+        spec(i)["name"] = name
+    for i, mode in enumerate(v1.get("blob_share_mode", [])):
+        spec(i)["share_mode"] = mode
+    for i, lr in enumerate(v1.get("blobs_lr", [])):
+        spec(i)["lr_mult"] = lr
+    for i, wd in enumerate(v1.get("weight_decay", [])):
+        spec(i)["decay_mult"] = wd
+    if specs:
+        out["param"] = specs
     return out
 
 

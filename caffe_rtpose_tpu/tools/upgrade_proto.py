@@ -14,16 +14,21 @@ from ..proto import caffe_pb, caffemodel, prototxt, wire
 
 
 def upgrade_net_proto_text(inp: str, out: str) -> int:
+    from ..proto.upgrade import upgrade_net_as_needed
+
     msg = prototxt.parse_file(inp, "NetParameter")
-    if "layers" in msg and "layer" not in msg:
-        msg["layer"] = [caffemodel._upgrade_v1_layer(l) for l in msg.pop("layers")]
+    msg = upgrade_net_as_needed(msg, upgrade_input=True)
     prototxt.dump_file(msg, out)
     print(f"Wrote upgraded NetParameter text proto to {out}")
     return 0
 
 
 def upgrade_net_proto_binary(inp: str, out: str) -> int:
-    msg = caffemodel.load_net_parameter(inp)
+    from ..proto.upgrade import upgrade_net_as_needed, upgrade_net_input
+
+    msg = caffemodel.load_net_parameter(inp)  # runs the upgrade chain
+    if msg.get("input"):
+        upgrade_net_input(msg)
     caffemodel.save_net_parameter(msg, out)
     print(f"Wrote upgraded NetParameter binary proto to {out}")
     return 0
