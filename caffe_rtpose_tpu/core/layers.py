@@ -71,6 +71,7 @@ class LayerImpl:
     params: List[ParamInfo] = field(default_factory=list)
     loss_weights: List[float] = field(default_factory=list)
     top_nhwc: Optional[List[bool]] = None  # None = infer: 4-D outputs are NHWC
+    needs_rng: bool = False  # true -> Net splits a fresh PRNG key per forward
 
 
 @dataclass
@@ -95,7 +96,8 @@ def register(type_name: str):
     return deco
 
 
-def _base(ctx: BuildCtx, apply, params=None, loss_weights=None, top_nhwc=None) -> LayerImpl:
+def _base(ctx: BuildCtx, apply, params=None, loss_weights=None, top_nhwc=None,
+          needs_rng=False) -> LayerImpl:
     lv = ctx.lv
     return LayerImpl(
         name=lv.name,
@@ -106,6 +108,7 @@ def _base(ctx: BuildCtx, apply, params=None, loss_weights=None, top_nhwc=None) -
         params=params or [],
         loss_weights=loss_weights if loss_weights is not None else list(lv.loss_weight),
         top_nhwc=top_nhwc,
+        needs_rng=needs_rng,
     )
 
 
@@ -272,15 +275,22 @@ def build_pooling(ctx: BuildCtx) -> LayerImpl:
                      pp.pad_h if pp.has("pad_h") else None,
                      pp.pad_w if pp.has("pad_w") else None, 0)
     method = pp.pool
+    if method == POOL_METHOD["STOCHASTIC"] and (ph or pw):
+        # reference pooling_layer.cpp:36-41: padding only for AVE/MAX
+        raise ValueError("Padding implemented only for average and max "
+                         "pooling.")
+    is_train = ctx.phase == "TRAIN"
 
     def apply(p, bots, rng, training, knobs=None):
         if method == POOL_METHOD["MAX"]:
             return (op_nn.max_pool2d(bots[0], (kh, kw), (sh, sw), (ph, pw)),)
         if method == POOL_METHOD["AVE"]:
             return (op_nn.avg_pool2d(bots[0], (kh, kw), (sh, sw), (ph, pw)),)
-        raise NotImplementedError("STOCHASTIC pooling is not supported")
+        return (op_nn.stochastic_pool2d(bots[0], (kh, kw), (sh, sw), rng,
+                                        is_train),)
 
-    return _base(ctx, apply)
+    return _base(ctx, apply,
+                 needs_rng=(method == POOL_METHOD["STOCHASTIC"] and is_train))
 
 
 @register("InnerProduct")

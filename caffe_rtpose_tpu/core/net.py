@@ -340,7 +340,7 @@ class Net:
         for impl in (impls if impls is not None else self.impls):
             bots = [blobs[b] for b in impl.bottoms]
             p = params.get(impl.name, [])
-            if impl.type == "Dropout":
+            if impl.type == "Dropout" or impl.needs_rng:
                 rng, sub = jax.random.split(rng)
                 tops = impl.apply(p, bots, sub, training, knobs)
             elif impl.type in remat_types and training:

@@ -113,6 +113,51 @@ def max_pool2d(x: jax.Array, k: Tuple[int, int], s: Tuple[int, int], p: Tuple[in
     return y[:, :oh, :ow, :]
 
 
+def stochastic_pool2d(x: jax.Array, k: Tuple[int, int], s: Tuple[int, int],
+                      rng: jax.Array, training: bool) -> jax.Array:
+    """Caffe STOCHASTIC pooling (reference pooling_layer.cu:83-155), NHWC.
+
+    Train: one uniform draw r per output; threshold = r * window-sum; the
+    output is the first window element (row-major scan, clipped to the input
+    like hend=min(hstart+k,h)) whose running cumsum reaches the threshold
+    (StoPoolForwardTrain :83-119).  Expressed as a differentiable gather so
+    autodiff routes the gradient to the sampled element exactly like
+    StoPoolBackward.  Test: value-weighted average sum(x^2)/(FLT_MIN+sum(x))
+    (StoPoolForwardTest :122-155).  Padding is not supported for stochastic
+    pooling (reference pooling_layer.cpp:36-41 CHECK).
+
+    Degenerate all-below-threshold windows (possible only with negative
+    inputs, UB in the reference which leaves the output unwritten) resolve
+    to the first element here.
+    """
+    n, h, w, c = x.shape
+    oh = pooled_size(h, k[0], s[0], 0)
+    ow = pooled_size(w, k[1], s[1], 0)
+    need_h = (oh - 1) * s[0] + k[0]
+    need_w = (ow - 1) * s[1] + k[1]
+    # zero-pad bottom/right: padded elements add nothing to the cumsum so
+    # they can never be the *first* index to reach the threshold (the
+    # reference skips them outright — same selection)
+    xp = jnp.pad(x, ((0, 0), (0, need_h - h), (0, need_w - w), (0, 0)))
+    pats = jnp.stack(
+        [xp[:, dh : dh + (oh - 1) * s[0] + 1 : s[0],
+            dw : dw + (ow - 1) * s[1] + 1 : s[1], :]
+         for dh in range(k[0]) for dw in range(k[1])],
+        axis=3)  # (n, oh, ow, kh*kw, c) in the kernel's row-major scan order
+    if training:
+        cum = jnp.cumsum(pats.astype(jnp.float32), axis=3)
+        total = cum[:, :, :, -1:, :]
+        r = jax.random.uniform(rng, (n, oh, ow, 1, c), dtype=jnp.float32)
+        idx = jnp.argmax(cum >= r * total, axis=3)
+        out = jnp.take_along_axis(pats, idx[:, :, :, None, :], axis=3)
+        return out[:, :, :, 0, :]
+    pf = pats.astype(jnp.float32)
+    ssum = pf.sum(axis=3)
+    ssq = (pf * pf).sum(axis=3)
+    flt_min = np.finfo(np.float32).tiny  # FLT_MIN (:144)
+    return (ssq / (flt_min + ssum)).astype(x.dtype)
+
+
 def avg_pool2d(x: jax.Array, k: Tuple[int, int], s: Tuple[int, int], p: Tuple[int, int]) -> jax.Array:
     """Caffe AVE pooling: divisor is the window size clipped to the *padded*
     bounds (so border windows divide by fewer than k*k only past the pad)."""

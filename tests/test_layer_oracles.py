@@ -319,3 +319,108 @@ class TestLossGradients:
 
         check_grads(f, (jnp.asarray(x),), order=1, modes=["rev"],
                     atol=2e-2, rtol=2e-2)
+
+
+class TestStochasticPooling:
+    """STOCHASTIC pooling oracles (reference pooling_layer.cu:83-155);
+    VERDICT r1 Missing #4 / Next #6."""
+
+    KP = {"pooling_param": {"pool": 2, "kernel_size": 3, "stride": 2}}
+
+    def _oracle_select(self, xn, k, s, r):
+        """StoPoolForwardTrain loop: first row-major element whose running
+        cumsum reaches r*sum (windows clipped to the input)."""
+        from caffe_rtpose_tpu.ops.nn import pooled_size
+
+        n, h, w, c = xn.shape
+        oh, ow = pooled_size(h, k, s, 0), pooled_size(w, k, s, 0)
+        out = np.zeros((n, oh, ow, c), np.float32)
+        idx = np.zeros((n, oh, ow, c, 2), np.int32)
+        for ni in range(n):
+            for ph in range(oh):
+                for pw in range(ow):
+                    hs, ws = ph * s, pw * s
+                    he, we = min(hs + k, h), min(ws + k, w)
+                    for ci in range(c):
+                        win = xn[ni, hs:he, ws:we, ci].astype(np.float32)
+                        thres = r[ni, ph, pw, 0, ci] * np.float32(win.sum())
+                        cum = np.float32(0)
+                        done = False
+                        for hh in range(he - hs):
+                            for ww in range(we - ws):
+                                cum = np.float32(cum + win[hh, ww])
+                                if cum >= thres and not done:
+                                    out[ni, ph, pw, ci] = win[hh, ww]
+                                    idx[ni, ph, pw, ci] = (hs + hh, ws + ww)
+                                    done = True
+        return out, idx
+
+    def test_train_sampling_matches_kernel_semantics(self):
+        import jax
+
+        x = np.abs(RS.randn(2, 3, 7, 9)).astype(np.float32)  # post-ReLU-like
+        layer = {"name": "l", "type": "Pooling", "bottom": ["x"],
+                 "top": ["y"], **self.KP}
+        proto = {"name": "t", "input": ["x"],
+                 "input_shape": [{"dim": [2, 3, 7, 9]}], "layer": [layer]}
+        net = Net(proto, phase="TRAIN")
+        key = jax.random.PRNGKey(5)
+        y = net.forward({"x": x}, outputs=["y"], rng=key)["y"]
+
+        # replicate the layer's draw: Net splits once for the rng layer;
+        # pooled dims for h=7,w=9,k=3,s=2 are ceil((d-3)/2)+1 = 3 x 4
+        _, sub = jax.random.split(key)
+        r = np.asarray(jax.random.uniform(sub, (2, 3, 4, 1, 3),
+                                          dtype=np.float32))
+        xn = x.transpose(0, 2, 3, 1)
+        want, _ = self._oracle_select(xn, 3, 2, r)
+        np.testing.assert_array_equal(np.asarray(y),
+                                      want.transpose(0, 3, 1, 2))
+        # sampled values always come from the window
+        assert set(np.asarray(y).ravel()) <= set(x.ravel())
+
+    def test_test_phase_weighted_average(self):
+        x = np.abs(RS.randn(1, 2, 6, 6)).astype(np.float32)
+        layer = {"name": "l", "type": "Pooling", "bottom": ["x"],
+                 "top": ["y"], **self.KP}
+        y, _ = run1(layer, [x.shape], {"x": x}, phase="TEST")
+        xn = x.transpose(0, 2, 3, 1)
+        flt_min = np.finfo(np.float32).tiny
+        want = np.zeros((1, 3, 3, 2), np.float32)
+        for ph in range(3):
+            for pw in range(3):
+                win = xn[:, ph * 2 : min(ph * 2 + 3, 6),
+                         pw * 2 : min(pw * 2 + 3, 6), :]
+                want[:, ph, pw, :] = ((win * win).sum((1, 2)) /
+                                      (flt_min + win.sum((1, 2))))
+        np.testing.assert_allclose(np.asarray(y), want.transpose(0, 3, 1, 2),
+                                   rtol=1e-5)
+
+    def test_gradient_routes_to_sampled_elements(self):
+        import jax
+        import jax.numpy as jnp
+
+        from caffe_rtpose_tpu.ops.nn import stochastic_pool2d
+
+        xn = np.abs(RS.randn(1, 5, 5, 2)).astype(np.float32)
+        key = jax.random.PRNGKey(9)
+        g = jax.grad(lambda a: jnp.sum(
+            stochastic_pool2d(a, (2, 2), (2, 2), key, True)))(jnp.asarray(xn))
+        r = np.asarray(jax.random.uniform(key, (1, 3, 3, 1, 2),
+                                          dtype=np.float32))
+        _, idx = self._oracle_select(xn, 2, 2, r)
+        want = np.zeros_like(xn)
+        for ni, ph, pw, ci in np.ndindex(1, 3, 3, 2):
+            hh, ww = idx[ni, ph, pw, ci]
+            want[ni, hh, ww, ci] += 1.0  # StoPoolBackward accumulation
+        np.testing.assert_array_equal(np.asarray(g), want)
+
+    def test_padding_rejected(self):
+        layer = {"name": "l", "type": "Pooling", "bottom": ["x"],
+                 "top": ["y"],
+                 "pooling_param": {"pool": 2, "kernel_size": 3, "stride": 2,
+                                   "pad": 1}}
+        proto = {"name": "t", "input": ["x"],
+                 "input_shape": [{"dim": [1, 2, 6, 6]}], "layer": [layer]}
+        with pytest.raises(ValueError, match="average and max"):
+            Net(proto, phase="TRAIN")
