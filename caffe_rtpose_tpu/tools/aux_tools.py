@@ -190,6 +190,24 @@ def main(argv=None) -> int:
         return 0
     b.set_defaults(fn=_build)
 
+    dc = sub.add_parser("db_convert",
+                        help="copy a dataset between DB backends "
+                             "(leveldb/lmdb/kvdb) — the migration path for "
+                             "reference-generated data")
+    dc.add_argument("src")
+    dc.add_argument("dst")
+    dc.add_argument("--src_backend", default="auto",
+                    choices=["auto", "kvdb", "lmdb", "leveldb"])
+    dc.add_argument("--dst_backend", default="kvdb",
+                    choices=["kvdb", "lmdb", "leveldb"])
+    def _convert(a):
+        from ..utils.db import convert_db
+
+        n = convert_db(a.src, a.dst, a.src_backend, a.dst_backend)
+        print(f"Copied {n} records {a.src} -> {a.dst}")
+        return 0
+    dc.set_defaults(fn=_convert)
+
     e = sub.add_parser("extract_features")
     e.add_argument("--model", required=True)
     e.add_argument("--weights", default="")

@@ -333,18 +333,74 @@ class _LmdbImpl:
         self.env.close()
 
 
+class _LevelDbImpl:
+    """LevelDB directory backend over the clean-room format codec
+    (utils/leveldb_fmt.py) — reads reference-generated datasets
+    (util/db_leveldb.cpp output) without the leveldb library.
+
+    Reads snapshot the merged live state at open; writes buffer and are
+    flushed as a fresh compacted DB on commit (read-modify-write)."""
+
+    def __init__(self, path: str, writable: bool):
+        from . import leveldb_fmt as ldb
+
+        self._ldb = ldb
+        self.path = path
+        self.writable = writable
+        if os.path.exists(os.path.join(path, "CURRENT")):
+            self._items = ldb.read_db(path)
+        elif writable:
+            self._items = []
+        else:
+            raise FileNotFoundError(f"{path}: no LevelDB CURRENT file")
+        self._keys = [k for k, _ in self._items]
+        self.pending: List[Tuple[bytes, bytes]] = []
+
+    def count(self):
+        return len(self._items)
+
+    def at(self, pos):
+        return self._items[pos]
+
+    def find(self, key):
+        i = bisect_left(self._keys, key)
+        return i if i < len(self._keys) and self._keys[i] == key else -1 - i
+
+    def put(self, key, value):
+        self.pending.append((key, value))
+
+    def commit(self):
+        if not self.writable:
+            raise IOError("read-only LevelDB handle")
+        merged = dict(self._items)
+        merged.update(self.pending)
+        self._items = sorted(merged.items())
+        self._keys = [k for k, _ in self._items]
+        self.pending.clear()
+        self._ldb.write_db(self.path, self._items)
+
+    def close(self):
+        if self.pending:
+            self.commit()
+
+
 def open_db(source: str, mode: str = "r", backend: str = "auto") -> DB:
     """Open a database.  ``mode``: 'r' read, 'w' read-write (creates if
-    absent).  ``backend``: 'kvdb' | 'lmdb' | 'auto' (sniff by extension /
-    availability, defaulting to kvdb)."""
+    absent).  ``backend``: 'kvdb' | 'lmdb' | 'leveldb' | 'auto' (sniff:
+    a directory with a CURRENT file is LevelDB, other directories /
+    .mdb/.lmdb paths are LMDB, else kvdb)."""
     writable = mode in ("w", "rw", "new")
     if backend == "auto":
-        if source.endswith((".mdb", ".lmdb")) or os.path.isdir(source):
+        if os.path.exists(os.path.join(source, "CURRENT")):
+            backend = "leveldb"
+        elif source.endswith((".mdb", ".lmdb")) or os.path.isdir(source):
             backend = "lmdb"
         else:
             backend = "kvdb"
     if backend == "kvdb":
         return DB(_kvdb_impl(source, writable), "kvdb")
+    if backend == "leveldb":
+        return DB(_LevelDbImpl(source, writable), "leveldb")
     if backend == "lmdb":
         try:
             return DB(_LmdbImpl(source, writable), "lmdb")
@@ -354,3 +410,25 @@ def open_db(source: str, mode: str = "r", backend: str = "auto") -> DB:
                 "installed; use the portable 'kvdb' backend instead"
             ) from e
     raise ValueError(f"unknown db backend {backend!r}")
+
+
+def convert_db(src: str, dst: str, src_backend: str = "auto",
+               dst_backend: str = "kvdb") -> int:
+    """Copy every record from ``src`` to ``dst`` (the migration path for
+    reference LevelDB/LMDB datasets).  Returns the record count."""
+    sdb = open_db(src, "r", backend=src_backend)
+    ddb = open_db(dst, "w", backend=dst_backend)
+    txn = ddb.new_transaction()
+    cur = sdb.new_cursor()
+    cur.seek_to_first()
+    n = 0
+    while cur.valid():
+        txn.put(cur.key(), cur.value())
+        n += 1
+        if n % 500 == 0:
+            txn.commit()
+        cur.next()
+    txn.commit()
+    ddb.close()
+    sdb.close()
+    return n
