@@ -37,7 +37,7 @@ BATCH = 8
 PAIR_CAP = 32
 FRAMES_PER_PASS = 144
 DEADLINE_S = 300.0
-EARLY_STOP_FPS = 46.0
+EARLY_STOP_FPS = 52.0  # passes >= this have been seen only on a clear link
 PROBE_GOOD_MBPS = 15.0
 MIN_FULL_PASSES = 3
 
@@ -102,7 +102,10 @@ def main():
     t_start = time.time()
     fps, breakdown = one_pass()  # pass 1 doubles as compile warmup
     n_passes = 1
-    while time.time() - t_start < DEADLINE_S and fps < EARLY_STOP_FPS:
+    # early-stop only once a fully-warm pass has also run: pass 2 skips
+    # compilation and frequently beats pass 1 even on a good link
+    while time.time() - t_start < DEADLINE_S and \
+            (fps < EARLY_STOP_FPS or n_passes < 2):
         time.sleep(8)
         left = DEADLINE_S - (time.time() - t_start)
         rate = probe_mbps()
