@@ -47,6 +47,28 @@ $REF/src/caffe/layers/lrn_layer.cpp
 $REF/src/caffe/layers/softmax_layer.cpp
 $REF/src/caffe/layers/concat_layer.cpp
 $REF/src/caffe/layers/split_layer.cpp
+$REF/src/caffe/layers/inner_product_layer.cpp
+$REF/src/caffe/layers/slice_layer.cpp
+$REF/src/caffe/layers/flatten_layer.cpp
+$REF/src/caffe/layers/reshape_layer.cpp
+$REF/src/caffe/layers/scale_layer.cpp
+$REF/src/caffe/layers/bias_layer.cpp
+$REF/src/caffe/layers/batch_norm_layer.cpp
+$REF/src/caffe/layers/dropout_layer.cpp
+$REF/src/caffe/layers/absval_layer.cpp
+$REF/src/caffe/layers/bnll_layer.cpp
+$REF/src/caffe/layers/elu_layer.cpp
+$REF/src/caffe/layers/exp_layer.cpp
+$REF/src/caffe/layers/log_layer.cpp
+$REF/src/caffe/layers/threshold_layer.cpp
+$REF/src/caffe/layers/prelu_layer.cpp
+$REF/src/caffe/layers/mvn_layer.cpp
+$REF/src/caffe/layers/argmax_layer.cpp
+$REF/src/caffe/layers/crop_layer.cpp
+$REF/src/caffe/layers/reduction_layer.cpp
+$REF/src/caffe/layers/tile_layer.cpp
+$REF/src/caffe/layers/embed_layer.cpp
+$REF/src/caffe/layers/batch_reindex_layer.cpp
 $HERE/cblas_naive.cpp
 $HERE/hdf5_stubs.cpp
 $HERE/io_lite.cpp

@@ -38,19 +38,23 @@ int main(int argc, char** argv) {
     net.CopyTrainedLayersFrom(weights);
   }
 
-  caffe::Blob<float>* input = net.input_blobs()[0];
   {
+    // fill every input blob, in net order, from one concatenated raw file
     std::ifstream f(input_path, std::ios::binary);
     if (!f) {
       std::fprintf(stderr, "cannot open %s\n", input_path.c_str());
       return 2;
     }
-    f.read(reinterpret_cast<char*>(input->mutable_cpu_data()),
-           sizeof(float) * input->count());
-    if (f.gcount() != static_cast<std::streamsize>(sizeof(float) * input->count())) {
-      std::fprintf(stderr, "input.raw size mismatch (want %d floats)\n",
-                   input->count());
-      return 2;
+    for (size_t i = 0; i < net.input_blobs().size(); ++i) {
+      caffe::Blob<float>* input = net.input_blobs()[i];
+      f.read(reinterpret_cast<char*>(input->mutable_cpu_data()),
+             sizeof(float) * input->count());
+      if (f.gcount() !=
+          static_cast<std::streamsize>(sizeof(float) * input->count())) {
+        std::fprintf(stderr, "input.raw size mismatch (input %zu wants %d "
+                     "floats)\n", i, input->count());
+        return 2;
+      }
     }
   }
 
