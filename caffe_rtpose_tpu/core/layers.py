@@ -72,6 +72,10 @@ class LayerImpl:
     loss_weights: List[float] = field(default_factory=list)
     top_nhwc: Optional[List[bool]] = None  # None = infer: 4-D outputs are NHWC
     needs_rng: bool = False  # true -> Net splits a fresh PRNG key per forward
+    # stat-carrying layers (BatchNorm in TRAIN): like `apply` but returns
+    # (tops, aux); Net collects aux per layer when the caller asks for it
+    aux_apply: Optional[Callable[..., Tuple[Tuple[jax.Array, ...], Any]]] = None
+    meta: Dict[str, Any] = field(default_factory=dict)
 
 
 @dataclass
@@ -476,7 +480,21 @@ def build_batch_norm(ctx: BuildCtx) -> LayerImpl:
         y, _, _ = op_nn.batch_norm_training(bots[0], eps, channel_axis)
         return (y,)
 
-    return _base(ctx, apply, params)
+    impl = _base(ctx, apply, params)
+    if not use_global:
+        # TRAIN: surface the batch stats so the solver can roll the running
+        # averages exactly like the reference's in-Forward mutation
+        # (batch_norm_layer.cpp:120-136) — see Solver._bn_update
+        def aux_apply(p, bots, rng, training, knobs=None):
+            y, mu, var = op_nn.batch_norm_training(bots[0], eps, channel_axis)
+            return (y,), (mu, var)
+
+        impl.aux_apply = aux_apply
+        impl.meta["bn_maf"] = float(bp.moving_average_fraction)
+        # per-channel element count m = N*H*W (static shapes)
+        impl.meta["bn_m"] = int(np.prod(
+            [d for i, d in enumerate(x.shape_caffe) if i != 1]))
+    return impl
 
 
 @register("Scale")

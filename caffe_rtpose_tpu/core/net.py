@@ -334,13 +334,17 @@ class Net:
         return keep
 
     def _apply(self, params, inputs: Dict[str, jax.Array], rng, knobs, training: bool,
-               impls: Optional[List[Any]] = None):
+               impls: Optional[List[Any]] = None,
+               aux_out: Optional[Dict[str, Any]] = None):
         blobs: Dict[str, jax.Array] = dict(inputs)
         remat_types = {"Convolution", "Deconvolution"} if self.remat == "convs" else ()
         for impl in (impls if impls is not None else self.impls):
             bots = [blobs[b] for b in impl.bottoms]
             p = params.get(impl.name, [])
-            if impl.type == "Dropout" or impl.needs_rng:
+            if aux_out is not None and training and impl.aux_apply is not None:
+                tops, aux = impl.aux_apply(p, bots, rng, training, knobs)
+                aux_out[impl.name] = aux
+            elif impl.type == "Dropout" or impl.needs_rng:
                 rng, sub = jax.random.split(rng)
                 tops = impl.apply(p, bots, sub, training, knobs)
             elif impl.type in remat_types and training:
@@ -452,14 +456,15 @@ class Net:
     def update_bn_stats(self, next_batch, n_batches: int = 10) -> int:
         """Recompute BatchNorm running statistics from data.
 
-        The reference updates BN moving averages inside Forward (mutation,
-        batch_norm_layer.cpp); under a pure functional train step the stat
-        blobs are never touched (lr_mult 0).  The TPU-native equivalent is
-        this post-hoc recompute: run ``n_batches`` forwards, average each BN
+        Training through ``Solver`` already rolls the reference's moving
+        averages every forward (batch_norm_layer.cpp:120-136 semantics via
+        the aux channel — see ``make_loss_fn(with_aux=True)`` and
+        ``Solver._bn_roll``), so snapshots carry caffe-equivalent stats.
+        This post-hoc recompute remains for nets trained outside Solver or
+        imported without stats: run ``n_batches`` forwards, average each BN
         bottom's batch mean/variance, and write them (with scale factor 1)
-        into the layer's stat blobs — call after training, before TEST-phase
-        use.  ``next_batch(i) -> {input: array}``.  Returns the number of
-        BatchNorm layers updated."""
+        into the layer's stat blobs.  ``next_batch(i) -> {input: array}``.
+        Returns the number of BatchNorm layers updated."""
         bn = [i for i in self.impls if i.type == "BatchNorm"]
         if not bn:
             return 0
@@ -509,19 +514,23 @@ class Net:
                     out.append((t, float(w)))
         return out
 
-    def make_loss_fn(self):
-        """fn(params, inputs, rng) -> scalar total weighted loss."""
+    def make_loss_fn(self, with_aux: bool = False):
+        """fn(params, inputs, rng) -> scalar total weighted loss.  With
+        ``with_aux``, returns (loss, {layer: aux}) — the side channel for
+        stat-carrying layers (BatchNorm batch mean/var in TRAIN)."""
         tops = self.loss_tops()
         if not tops:
             raise ValueError("net has no loss tops")
         training = self.phase == "TRAIN"
 
         def loss_fn(params, inputs, rng):
-            blobs = self._apply(params, inputs, rng, None, training)
+            aux: Optional[Dict[str, Any]] = {} if with_aux else None
+            blobs = self._apply(params, inputs, rng, None, training,
+                                aux_out=aux)
             total = 0.0
             for t, w in tops:
                 total = total + w * jnp.sum(blobs[t])
-            return total
+            return (total, aux) if with_aux else total
 
         return loss_fn
 

@@ -244,7 +244,14 @@ class Solver:
         }
         self.history = init_history(self.type, net.params)
         self._update = jax.jit(make_update_fn(self.type, self.sp, self.lr_mults, self.decay_mults))
-        loss_fn = net.make_loss_fn()
+        # stat-carrying layers (BatchNorm in TRAIN): thread their batch
+        # stats out of the jitted loss and roll the running averages exactly
+        # like the reference's in-Forward mutation (batch_norm_layer.cpp:
+        # 120-136: scale = scale*maf + 1; mean = mu + maf*mean;
+        # var = m/(m-1)*var_batch + maf*var)
+        self._bn_meta = {i.name: (float(i.meta["bn_maf"]), int(i.meta["bn_m"]))
+                         for i in net.impls if i.aux_apply is not None}
+        loss_fn = net.make_loss_fn(with_aux=bool(self._bn_meta))
         if input_transform is not None:
             base_loss = loss_fn
 
@@ -265,7 +272,25 @@ class Solver:
 
             self.net.params = replicate(mesh, self.net.params)
             self.history = replicate(mesh, self.history)
-        self._grad = jax.jit(jax.value_and_grad(loss_fn))
+        self._grad = jax.jit(jax.value_and_grad(loss_fn,
+                                                has_aux=bool(self._bn_meta)))
+
+        bn_meta = self._bn_meta
+
+        def bn_roll(params, aux):
+            out = dict(params)
+            for name, (mu, var) in aux.items():
+                maf, m = bn_meta[name]
+                mean_b, var_b, scale_b = params[name]
+                corr = m / (m - 1) if m > 1 else 1.0
+                out[name] = [
+                    mu + maf * mean_b,
+                    corr * var + maf * var_b,
+                    scale_b * maf + 1.0,
+                ]
+            return out
+
+        self._bn_roll = jax.jit(bn_roll) if self._bn_meta else None
         self.smoothed_losses: List[float] = []
 
     def step(self, iters: int = 1, callback=None) -> float:
@@ -294,7 +319,15 @@ class Solver:
                     from ..parallel.dp import shard_batch
 
                     inputs = shard_batch(self.mesh, inputs)
-                loss, grads = self._grad(self.net.params, inputs, jax.random.PRNGKey(self.it))
+                if self._bn_meta:
+                    (loss, bn_aux), grads = self._grad(
+                        self.net.params, inputs, jax.random.PRNGKey(self.it))
+                    # per-forward stat roll, like the reference (iter_size
+                    # sub-batches each advance the moving averages)
+                    self.net.params = self._bn_roll(self.net.params, bn_aux)
+                else:
+                    loss, grads = self._grad(self.net.params, inputs,
+                                             jax.random.PRNGKey(self.it))
                 total_loss = loss if total_loss is None else total_loss + loss
                 grads_acc = (
                     grads
