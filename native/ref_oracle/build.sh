@@ -69,6 +69,12 @@ $REF/src/caffe/layers/reduction_layer.cpp
 $REF/src/caffe/layers/tile_layer.cpp
 $REF/src/caffe/layers/embed_layer.cpp
 $REF/src/caffe/layers/batch_reindex_layer.cpp
+$REF/src/caffe/layers/loss_layer.cpp
+$REF/src/caffe/layers/euclidean_loss_layer.cpp
+$REF/src/caffe/layers/euclideanmask_loss_layer.cpp
+$REF/src/caffe/layers/softmax_loss_layer.cpp
+$REF/src/caffe/layers/sigmoid_cross_entropy_loss_layer.cpp
+$REF/src/caffe/layers/hinge_loss_layer.cpp
 $HERE/cblas_naive.cpp
 $HERE/hdf5_stubs.cpp
 $HERE/io_lite.cpp

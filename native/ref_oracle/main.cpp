@@ -4,12 +4,17 @@
 // reimplementation can be checked against an independent executable.
 //
 // Usage:
-//   ref_oracle <deploy.prototxt> <weights.caffemodel|-> <input.raw>
-//              <out_prefix> <blob_name> [blob_name...]
+//   ref_oracle [--train] <deploy.prototxt> <weights.caffemodel|->
+//              <input.raw> <out_prefix> <name> [name...]
 //
-// input.raw: float32 values matching the net's first input blob count.
-// Writes <out_prefix>.<blob>.raw (float32) and prints "<blob> <shape...>"
-// lines to stdout.
+// input.raw: float32 values filling every input blob, in net order.
+// Each <name> is one of:
+//   blob          forward activation (cpu_data)
+//   grad:blob     blob gradient (cpu_diff) after net.Backward()
+//   pgrad:layer   that layer's param gradients, concatenated in blob order
+// Requesting any grad runs Backward (set force_backward: true in the proto
+// for input-blob gradients).  Writes <out_prefix>.<name>.raw (float32,
+// ':' replaced by '_') and prints "<name> <shape...>" lines to stdout.
 #include <cstdio>
 #include <cstdlib>
 #include <fstream>
@@ -21,19 +26,26 @@
 #include "caffe/net.hpp"
 
 int main(int argc, char** argv) {
-  if (argc < 6) {
+  int argi = 1;
+  caffe::Phase phase = caffe::TEST;
+  if (argc > 1 && std::string(argv[1]) == "--train") {
+    phase = caffe::TRAIN;
+    ++argi;
+  }
+  if (argc < argi + 5) {
     std::fprintf(stderr,
-                 "usage: %s proto weights|- input.raw out_prefix blob...\n",
-                 argv[0]);
+                 "usage: %s [--train] proto weights|- input.raw out_prefix "
+                 "name...\n", argv[0]);
     return 2;
   }
-  const std::string proto = argv[1];
-  const std::string weights = argv[2];
-  const std::string input_path = argv[3];
-  const std::string out_prefix = argv[4];
+  const std::string proto = argv[argi];
+  const std::string weights = argv[argi + 1];
+  const std::string input_path = argv[argi + 2];
+  const std::string out_prefix = argv[argi + 3];
+  const int first_name = argi + 4;
 
   caffe::Caffe::set_mode(caffe::Caffe::CPU);
-  caffe::Net<float> net(proto, caffe::TEST);
+  caffe::Net<float> net(proto, phase);
   if (weights != "-") {
     net.CopyTrainedLayersFrom(weights);
   }
@@ -59,18 +71,50 @@ int main(int argc, char** argv) {
   }
 
   net.Forward();
-
-  for (int i = 5; i < argc; ++i) {
+  bool backward_done = false;
+  for (int i = first_name; i < argc && !backward_done; ++i) {
     const std::string name = argv[i];
-    if (!net.has_blob(name)) {
-      std::fprintf(stderr, "no blob '%s'\n", name.c_str());
+    if (name.rfind("grad:", 0) == 0 || name.rfind("pgrad:", 0) == 0) {
+      net.Backward();
+      backward_done = true;
+    }
+  }
+
+  for (int i = first_name; i < argc; ++i) {
+    std::string name = argv[i];
+    std::string fname = name;
+    for (size_t c = 0; c < fname.size(); ++c)
+      if (fname[c] == ':') fname[c] = '_';
+    std::ofstream f(out_prefix + "." + fname + ".raw", std::ios::binary);
+    std::printf("%s", name.c_str());
+    if (name.rfind("pgrad:", 0) == 0) {
+      const std::string lname = name.substr(6);
+      if (!net.has_layer(lname)) {
+        std::fprintf(stderr, "no layer '%s'\n", lname.c_str());
+        return 2;
+      }
+      const boost::shared_ptr<caffe::Layer<float> > layer =
+          net.layer_by_name(lname);
+      int total = 0;
+      for (size_t b = 0; b < layer->blobs().size(); ++b) {
+        caffe::Blob<float>* blob = layer->blobs()[b].get();
+        f.write(reinterpret_cast<const char*>(blob->cpu_diff()),
+                sizeof(float) * blob->count());
+        total += blob->count();
+      }
+      std::printf(" %d\n", total);
+      continue;
+    }
+    const bool want_diff = name.rfind("grad:", 0) == 0;
+    const std::string bname = want_diff ? name.substr(5) : name;
+    if (!net.has_blob(bname)) {
+      std::fprintf(stderr, "no blob '%s'\n", bname.c_str());
       return 2;
     }
-    const boost::shared_ptr<caffe::Blob<float> > b = net.blob_by_name(name);
-    std::ofstream f(out_prefix + "." + name + ".raw", std::ios::binary);
-    f.write(reinterpret_cast<const char*>(b->cpu_data()),
+    const boost::shared_ptr<caffe::Blob<float> > b = net.blob_by_name(bname);
+    f.write(reinterpret_cast<const char*>(
+                want_diff ? b->cpu_diff() : b->cpu_data()),
             sizeof(float) * b->count());
-    std::printf("%s", name.c_str());
     for (int d = 0; d < b->num_axes(); ++d) std::printf(" %d", b->shape(d));
     std::printf("\n");
   }
