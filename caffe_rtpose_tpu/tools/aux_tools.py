@@ -20,7 +20,8 @@ import numpy as np
 def convert_imageset(listfile: str, root: str, out_path: str,
                      resize_h: int = 0, resize_w: int = 0,
                      gray: bool = False, shuffle: bool = False, seed: int = 0,
-                     encoded: bool = False, encode_type: str = "") -> int:
+                     encoded: bool = False, encode_type: str = "",
+                     backend: str = "kvdb") -> int:
     import os
 
     import cv2
@@ -45,7 +46,7 @@ def convert_imageset(listfile: str, root: str, out_path: str,
         from ..proto import datum as datum_io
         from ..utils.db import open_db
 
-        db = open_db(out_path, "w", backend="kvdb")
+        db = open_db(out_path, "w", backend=backend)
         txn = db.new_transaction()
     count = 0
     for idx, (path, label) in enumerate(entries):
@@ -167,9 +168,14 @@ def main(argv=None) -> int:
     c.add_argument("--shuffle", action="store_true")
     c.add_argument("--encoded", action="store_true")
     c.add_argument("--encode_type", default="")
+    c.add_argument("--backend", default="kvdb",
+                   choices=["kvdb", "lmdb", "leveldb"],
+                   help="output DB format (reference convert_imageset.cpp "
+                        "--backend {lmdb,leveldb})")
     c.set_defaults(fn=lambda a: convert_imageset(
         a.listfile, a.root, a.out_path, a.resize_height, a.resize_width,
-        a.gray, a.shuffle, encoded=a.encoded, encode_type=a.encode_type))
+        a.gray, a.shuffle, encoded=a.encoded, encode_type=a.encode_type,
+        backend=a.backend))
 
     m = sub.add_parser("compute_image_mean")
     m.add_argument("src", help="kvdb path or .h5 pack")

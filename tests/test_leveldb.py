@@ -281,3 +281,32 @@ class TestDbBackend:
         got_img, got_meta, _ = src[0]
         np.testing.assert_array_equal(got_img, img)
         assert got_meta.main.joints.shape == (18, 2)
+
+
+def test_convert_imageset_leveldb_backend(tmp_path, capsys):
+    """convert_imageset --backend leveldb (reference convert_imageset.cpp
+    --backend flag) writes a LevelDB of Datum records readable end to end."""
+    import cv2
+
+    from caffe_rtpose_tpu.proto.datum import datum_to_array, parse_datum
+    from caffe_rtpose_tpu.tools.aux_tools import main
+
+    rng = np.random.RandomState(6)
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    lines = []
+    for i in range(3):
+        img = rng.randint(0, 256, (10, 12, 3), np.uint8)
+        cv2.imwrite(str(imgdir / f"im{i}.png"), img)
+        lines.append(f"im{i}.png {i}")
+    listfile = tmp_path / "list.txt"
+    listfile.write_text("\n".join(lines))
+
+    out = str(tmp_path / "imgs_leveldb")
+    assert main(["convert_imageset", str(listfile), str(imgdir), out,
+                 "--backend", "leveldb"]) == 0
+    db = open_db(out, "r")
+    assert db.backend == "leveldb" and len(db) == 3
+    d = parse_datum(db.get(b"00000000_im0.png"))
+    assert d["label"] == 0
+    assert datum_to_array(d).shape == (3, 10, 12)
