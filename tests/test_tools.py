@@ -129,3 +129,48 @@ def test_netspec_dsl():
     net = Net(n.to_proto())
     assert net.blob_shape("conv1") == (1, 4, 8, 8)
     assert net.blob_shape("pool1") == (1, 3, 4, 4)
+
+
+def test_deprecated_tool_shims(tmp_path, capsys):
+    """train_net / test_net / finetune_net / net_speed_benchmark shims
+    (reference tools/*.cpp 7-line deprecation wrappers)."""
+    import h5py
+
+    from caffe_rtpose_tpu.tools.shims import main as shims
+
+    rs = np.random.RandomState(0)
+    X = rs.randn(6, 3).astype(np.float32)
+    Y = (X @ np.array([[1.0], [2.0], [-1.0]], np.float32)) + 0.5
+    h5 = tmp_path / "d.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("x", data=X)
+        f.create_dataset("y", data=Y)
+    lst = tmp_path / "d.txt"
+    lst.write_text(f"{h5}\n")
+    net = tmp_path / "net.prototxt"
+    net.write_text(f"""
+name: "lsq"
+layer {{ name: "data" type: "HDF5Data" top: "x" top: "y"
+  hdf5_data_param {{ source: "{lst}" batch_size: 6 }} }}
+layer {{ name: "fc" type: "InnerProduct" bottom: "x" top: "pred"
+  inner_product_param {{ num_output: 1
+    weight_filler {{ type: "gaussian" std: 0.1 }} }} }}
+layer {{ name: "loss" type: "EuclideanLoss" bottom: "pred" bottom: "y"
+  top: "loss" }}
+""")
+    solver = tmp_path / "solver.prototxt"
+    solver.write_text(f'net: "{net}"\nbase_lr: 0.02\nlr_policy: "fixed"\n'
+                      f'momentum: 0.9\nmax_iter: 20\ndisplay: 0\n'
+                      f'snapshot_prefix: "{tmp_path}/s"\nsnapshot: 20\n')
+
+    assert shims(["train_net", str(solver)]) == 0
+    err = capsys.readouterr().err
+    assert "train_net is deprecated" in err
+    weights = f"{tmp_path}/s_iter_20.caffemodel"
+    assert os.path.exists(weights)
+
+    assert shims(["test_net", str(net), weights, "2"]) == 0
+    assert shims(["finetune_net", str(solver), weights]) == 0
+    assert shims(["net_speed_benchmark", str(net), "2"]) == 0
+    assert "net_speed_benchmark is deprecated" in capsys.readouterr().err
+    assert shims(["bogus"]) == 2
