@@ -1043,7 +1043,8 @@ def build_maximum(ctx: BuildCtx) -> LayerImpl:
         val = jnp.max(flat, axis=-1)
         px = (idx % w).astype(jnp.float32)
         py = (idx // w).astype(jnp.float32)
-        return (jnp.stack([px, py, val], axis=-1),)
+        # reference top shape is (n, c, 1, 3) (maximum_layer.cpp:19-21)
+        return (jnp.stack([px, py, val], axis=-1).reshape(n, c, 1, 3),)
 
     return _base(ctx, apply, top_nhwc=[False])
 

@@ -75,6 +75,10 @@ $REF/src/caffe/layers/euclideanmask_loss_layer.cpp
 $REF/src/caffe/layers/softmax_loss_layer.cpp
 $REF/src/caffe/layers/sigmoid_cross_entropy_loss_layer.cpp
 $REF/src/caffe/layers/hinge_loss_layer.cpp
+$REF/src/caffe/layers/contrastive_loss_layer.cpp
+$REF/src/caffe/layers/infogain_loss_layer.cpp
+$REF/src/caffe/layers/multinomial_logistic_loss_layer.cpp
+$REF/src/caffe/layers/maximum_layer.cpp
 $HERE/cblas_naive.cpp
 $HERE/hdf5_stubs.cpp
 $HERE/io_lite.cpp

@@ -235,3 +235,80 @@ layer { name: "l2" type: "EuclideanLoss" bottom: "a" bottom: "t"
 """
     run_grad_case(oracle, str(tmp_path), "g6", proto,
                   [("a", a), ("b", b), ("t", t)], grad_blobs=["a", "b"])
+
+
+def test_contrastive_loss_grads(oracle, tmp_path):
+    a = RS.randn(5, 4).astype(np.float32)
+    b = RS.randn(5, 4).astype(np.float32)
+    y = np.array([1, 0, 1, 0, 1], np.float32)
+    proto = """
+name: "g7"
+force_backward: true
+input: "a"  input_shape { dim: 5 dim: 4 }
+input: "b"  input_shape { dim: 5 dim: 4 }
+input: "y"  input_shape { dim: 5 dim: 1 }
+layer { name: "loss" type: "ContrastiveLoss" bottom: "a" bottom: "b"
+  bottom: "y" top: "loss" contrastive_loss_param { margin: 2.0 } }
+"""
+    run_grad_case(oracle, str(tmp_path), "g7", proto,
+                  [("a", a), ("b", b), ("y", y.reshape(5, 1))],
+                  grad_blobs=["a", "b"])
+
+
+def test_multinomial_logistic_loss_grads(oracle, tmp_path):
+    p = RS.rand(4, 5).astype(np.float32) + 0.05
+    p /= p.sum(1, keepdims=True)
+    lbl = np.array([0, 2, 4, 1], np.float32)
+    proto = """
+name: "g8"
+force_backward: true
+input: "p"  input_shape { dim: 4 dim: 5 }
+input: "lbl"  input_shape { dim: 4 }
+layer { name: "loss" type: "MultinomialLogisticLoss" bottom: "p"
+  bottom: "lbl" top: "loss" }
+"""
+    run_grad_case(oracle, str(tmp_path), "g8", proto,
+                  [("p", p), ("lbl", lbl)], grad_blobs=["p"])
+
+
+def test_infogain_loss_grads(oracle, tmp_path):
+    """H via infogain_param.source (the H-as-bottom form cannot coexist
+    with force_backward in the reference: InfogainLossLayer does not
+    override AllowForceBackward for the H bottom and FATALs)."""
+    from caffe_rtpose_tpu.proto import caffe_pb
+    from caffe_rtpose_tpu.proto.wire import encode
+
+    p = RS.rand(4, 3).astype(np.float32) + 0.05
+    p /= p.sum(1, keepdims=True)
+    lbl = np.array([0, 2, 1, 0], np.float32)
+    H = (np.eye(3) * 0.8 + 0.1).astype(np.float32)
+    h_path = tmp_path / "H.binaryproto"
+    h_path.write_bytes(encode(
+        {"num": 1, "channels": 1, "height": 3, "width": 3,
+         "data": [float(v) for v in H.flat]}, caffe_pb.SCHEMA, "BlobProto"))
+    proto = f"""
+name: "g9"
+force_backward: true
+input: "p"  input_shape {{ dim: 4 dim: 3 }}
+input: "lbl"  input_shape {{ dim: 4 }}
+layer {{ name: "loss" type: "InfogainLoss" bottom: "p" bottom: "lbl"
+  top: "loss" infogain_loss_param {{ source: "{h_path}" }} }}
+"""
+    run_grad_case(oracle, str(tmp_path), "g9", proto,
+                  [("p", p), ("lbl", lbl)], grad_blobs=["p"])
+
+
+@pytest.mark.parametrize("norm", ["L1", "L2"])
+def test_hinge_loss_grads(oracle, tmp_path, norm):
+    x = RS.randn(5, 4).astype(np.float32)
+    lbl = np.array([0, 3, 2, 1, 0], np.float32)
+    proto = f"""
+name: "g10"
+force_backward: true
+input: "x"  input_shape {{ dim: 5 dim: 4 }}
+input: "lbl"  input_shape {{ dim: 5 }}
+layer {{ name: "loss" type: "HingeLoss" bottom: "x" bottom: "lbl"
+  top: "loss" hinge_loss_param {{ norm: {norm} }} }}
+"""
+    run_grad_case(oracle, str(tmp_path), f"g10{norm}", proto,
+                  [("x", x), ("lbl", lbl)], grad_blobs=["x"])

@@ -274,6 +274,17 @@ CASES = {
          'convolution_param { num_output: 4 group: 2 kernel_size: 3 '
          'stride: 2 pad: 1 weight_filler { type: "constant" } } }'],
         ["y"], dict(rtol=1e-4)),
+    "maximum_cpm_head": (
+        [("x", X4)],
+        ['layer { name: "mx" type: "Maximum" bottom: "x" top: "y" }'],
+        ["y"], {}),
+    "argmax_topk_maxval": (
+        [("x", X4.reshape(2, 3 * 63))],
+        ['layer { name: "a1" type: "ArgMax" bottom: "x" top: "y1" '
+         'argmax_param { top_k: 3 } }',
+         'layer { name: "a2" type: "ArgMax" bottom: "x" top: "y2" '
+         'argmax_param { top_k: 2 out_max_val: true } }'],
+        ["y1", "y2"], {}),
     "softmax_spatial_axis": (
         [("x", X4)],
         ['layer { name: "sm" type: "Softmax" bottom: "x" top: "y" '
