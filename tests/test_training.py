@@ -424,3 +424,29 @@ def test_batchnorm_iter_size_rolls_per_forward():
     scale = float(np.asarray(net.params["bn"][2])[0])
     # two forwards: scale = (0*maf+1)*maf + 1 = 1.9
     np.testing.assert_allclose(scale, 1.9, rtol=1e-6)
+
+
+def test_batchnorm_stats_mesh_equals_single_device():
+    """Sharded-batch DP: BN batch stats are computed over the GLOBAL batch
+    (jnp.mean under sharding reduces across devices), so the rolled stat
+    blobs match the single-device run exactly."""
+    from caffe_rtpose_tpu.parallel.dp import make_mesh
+
+    rs = np.random.RandomState(3)
+    x = rs.randn(8, 3, 5, 5).astype(np.float32)
+    t = np.zeros((8, 3, 5, 5), np.float32)
+    bn_net = BN_NET.replace("dim: 4", "dim: 8")
+
+    def nb(it):
+        return {"x": x, "t": t}
+
+    net1 = Net(bn_net, phase="TRAIN", seed=0)
+    Solver("base_lr: 0.0 lr_policy: 'fixed'", net1, nb).step(2)
+
+    net8 = Net(bn_net, phase="TRAIN", seed=0)
+    Solver("base_lr: 0.0 lr_policy: 'fixed'", net8, nb,
+           mesh=make_mesh(8)).step(2)
+
+    for a, b in zip(net1.params["bn"], net8.params["bn"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
