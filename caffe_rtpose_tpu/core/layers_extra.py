@@ -64,8 +64,18 @@ def build_batch_reindex(ctx: BuildCtx) -> LayerImpl:
 def build_parameter(ctx: BuildCtx) -> LayerImpl:
     shape = tuple(int(d) for d in ctx.lv.parameter_param.shape.dim)
     lr0, dc0 = _param_mults(ctx.lv, 0)
-    params = [ParamInfo(shape, lambda key: jnp.zeros(shape, jnp.float32),
-                        lambda a: a.reshape(shape), lambda a: a, lr0, dc0)]
+    if len(shape) == 4:
+        # blob is caffe NCHW on the wire; internally it lives in the
+        # physical NHWC layout its consumers expect
+        phys = (shape[0], shape[2], shape[3], shape[1])
+        params = [ParamInfo(
+            shape, lambda key: jnp.zeros(phys, jnp.float32),
+            lambda a: np.transpose(np.asarray(a).reshape(shape), (0, 2, 3, 1)),
+            lambda a: np.transpose(np.asarray(a), (0, 3, 1, 2)),
+            lr0, dc0)]
+    else:
+        params = [ParamInfo(shape, lambda key: jnp.zeros(shape, jnp.float32),
+                            lambda a: a.reshape(shape), lambda a: a, lr0, dc0)]
 
     def apply(p, bots, rng, training, knobs=None):
         return (p[0],)

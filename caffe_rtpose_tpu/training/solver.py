@@ -94,6 +94,11 @@ def make_update_fn(
         return g
 
     def update(params, grads, history, lr, it):
+        # caffe never computes diffs for lr_mult==0 params
+        # (param_propagate_down false) — their diffs stay zero, so they
+        # must not pollute the clip norm below
+        grads = jax.tree_util.tree_map(
+            lambda g, lm: g if lm else jnp.zeros_like(g), grads, lr_mults)
         leaves_g = jax.tree_util.tree_leaves(grads)
         # caffe order (sgd_solver.cpp): ClipGradients runs on the RAW
         # accumulated diffs, Normalize (divide by iter_size) comes after

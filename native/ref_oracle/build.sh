@@ -79,6 +79,16 @@ $REF/src/caffe/layers/contrastive_loss_layer.cpp
 $REF/src/caffe/layers/infogain_loss_layer.cpp
 $REF/src/caffe/layers/multinomial_logistic_loss_layer.cpp
 $REF/src/caffe/layers/maximum_layer.cpp
+$REF/src/caffe/layers/parameter_layer.cpp
+$REF/src/caffe/layers/dummy_data_layer.cpp
+$REF/src/caffe/util/benchmark.cpp
+$REF/src/caffe/solver.cpp
+$REF/src/caffe/solvers/sgd_solver.cpp
+$REF/src/caffe/solvers/nesterov_solver.cpp
+$REF/src/caffe/solvers/adagrad_solver.cpp
+$REF/src/caffe/solvers/rmsprop_solver.cpp
+$REF/src/caffe/solvers/adadelta_solver.cpp
+$REF/src/caffe/solvers/adam_solver.cpp
 $HERE/cblas_naive.cpp
 $HERE/hdf5_stubs.cpp
 $HERE/io_lite.cpp

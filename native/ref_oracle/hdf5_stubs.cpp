@@ -66,3 +66,7 @@ template void hdf5_save_nd_dataset<double>(const hid_t, const std::string&,
                                            const Blob<double>&, bool);
 
 }  // namespace caffe
+
+extern "C" int H5LTfind_dataset(hid_t, const char*) {
+  die("H5LTfind_dataset");
+}

@@ -37,4 +37,14 @@ bool ReadProtoFromBinaryFile(const char* filename, Message* proto) {
   return ok;
 }
 
+void WriteProtoToBinaryFile(const Message& proto, const char* filename) {
+  std::string out;
+  proto.SerializeToString(&out);
+  int fd = open(filename, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) return;
+  ssize_t n = write(fd, out.data(), out.size());
+  (void)n;
+  close(fd);
+}
+
 }  // namespace caffe

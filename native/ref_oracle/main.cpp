@@ -24,8 +24,50 @@
 #include "caffe/blob.hpp"
 #include "caffe/common.hpp"
 #include "caffe/net.hpp"
+#include "caffe/solver.hpp"
+#include "caffe/solver_factory.hpp"
+#include "caffe/util/upgrade_proto.hpp"
+
+// --solve mode: run the REFERENCE Solver for N iterations and dump the
+// final learnable params (concatenated, net param order) — the oracle for
+// cross-implementation optimizer-trajectory parity.
+//   ref_oracle --solve <solver.prototxt> <init.caffemodel|-> <iters>
+//              <out_prefix>
+static int run_solve(int argc, char** argv) {
+  if (argc < 6) {
+    std::fprintf(stderr,
+                 "usage: %s --solve solver.prototxt weights|- iters "
+                 "out_prefix\n", argv[0]);
+    return 2;
+  }
+  caffe::Caffe::set_mode(caffe::Caffe::CPU);
+  caffe::SolverParameter solver_param;
+  caffe::ReadSolverParamsFromTextFileOrDie(argv[2], &solver_param);
+  boost::shared_ptr<caffe::Solver<float> > solver(
+      caffe::SolverRegistry<float>::CreateSolver(solver_param));
+  const std::string weights = argv[3];
+  if (weights != "-") {
+    solver->net()->CopyTrainedLayersFrom(weights);
+  }
+  solver->Step(std::atoi(argv[4]));
+  const std::string out_prefix = argv[5];
+  std::ofstream f(out_prefix + ".params.raw", std::ios::binary);
+  int total = 0;
+  const std::vector<caffe::Blob<float>*>& params =
+      solver->net()->learnable_params();
+  for (size_t i = 0; i < params.size(); ++i) {
+    f.write(reinterpret_cast<const char*>(params[i]->cpu_data()),
+            sizeof(float) * params[i]->count());
+    total += params[i]->count();
+  }
+  std::printf("params %d\n", total);
+  return 0;
+}
 
 int main(int argc, char** argv) {
+  if (argc > 1 && std::string(argv[1]) == "--solve") {
+    return run_solve(argc, argv);
+  }
   int argi = 1;
   caffe::Phase phase = caffe::TEST;
   if (argc > 1 && std::string(argv[1]) == "--train") {

@@ -23,6 +23,7 @@ hid_t H5Gopen2(hid_t loc, const char* name, hid_t gapl);
 hid_t H5Gcreate2(hid_t loc, const char* name, hid_t lcpl, hid_t gcpl, hid_t gapl);
 herr_t H5Gclose(hid_t id);
 int H5Lexists(hid_t loc, const char* name, hid_t lapl);
+int H5LTfind_dataset(hid_t loc, const char* name);
 
 #ifdef __cplusplus
 }
