@@ -129,26 +129,58 @@ def _apply_points(people: List[Person], fn):
 
 
 def augmentation_scale(img, mask_miss, meta: Meta, prm: AugParams, rng) -> Tuple[np.ndarray, np.ndarray, float]:
-    dice = rng.rand()
-    if dice > prm.scale_prob:
-        mult = 1.0
+    # all geometry math in float32, like the reference's `float` locals
+    # (augmentation_scale :1431-1447) — the f32 scale feeds cv::resize, and
+    # an f64 recomputation changes every interpolated pixel
+    dice = np.float32(rng.rand())
+    if dice > np.float32(prm.scale_prob):
+        mult = np.float32(1.0)
     else:
-        mult = (prm.scale_max - prm.scale_min) * rng.rand() + prm.scale_min
-    scale = (prm.target_dist / meta.scale_self) * mult
-    img = cv2.resize(img, (0, 0), fx=scale, fy=scale, interpolation=cv2.INTER_CUBIC)
+        dice2 = np.float32(rng.rand())
+        mult = ((np.float32(prm.scale_max) - np.float32(prm.scale_min))
+                * dice2 + np.float32(prm.scale_min))
+    scale = np.float32(
+        np.float32(prm.target_dist) / np.float32(meta.scale_self)) * mult
+    img = cv2.resize(img, (0, 0), fx=float(scale), fy=float(scale),
+                     interpolation=cv2.INTER_CUBIC)
     if mask_miss is not None:
-        mask_miss = cv2.resize(mask_miss, (0, 0), fx=scale, fy=scale, interpolation=cv2.INTER_CUBIC)
+        mask_miss = cv2.resize(mask_miss, (0, 0), fx=float(scale),
+                               fy=float(scale),
+                               interpolation=cv2.INTER_CUBIC)
     _apply_points(meta.people, lambda pts: pts * scale)
-    return img, mask_miss, mult
+    return img, mask_miss, float(mult)
+
+
+def _rotated_bounding_rect(center, size, degree):
+    """cv::RotatedRect(center, size, degree).boundingRect() — f32 corner
+    math (RotatedRect::points) then floor/ceil with the +1 the OpenCV
+    integer-rect convention adds."""
+    cx, cy = np.float32(center[0]), np.float32(center[1])
+    w, h = np.float32(size[0]), np.float32(size[1])
+    ang = float(degree) * np.pi / 180.0
+    b = np.float32(np.cos(ang) * 0.5)
+    a = np.float32(np.sin(ang) * 0.5)
+    x0 = cx - a * h - b * w
+    y0 = cy + b * h - a * w
+    x1 = cx + a * h - b * w
+    y1 = cy - b * h - a * w
+    xs = np.array([x0, x1, 2 * cx - x0, 2 * cx - x1], np.float32)
+    ys = np.array([y0, y1, 2 * cy - y0, 2 * cy - y1], np.float32)
+    bx = int(np.floor(xs.min()))
+    by = int(np.floor(ys.min()))
+    return (bx, by,
+            int(np.ceil(xs.max())) - bx + 1, int(np.ceil(ys.max())) - by + 1)
 
 
 def augmentation_rotate(img, mask_miss, meta: Meta, prm: AugParams, rng):
-    degree = (rng.rand() - 0.5) * 2 * prm.max_rotate_degree
+    # f32 like the reference's `float degree` (:1576-1581)
+    degree = float((np.float32(rng.rand()) - np.float32(0.5))
+                   * np.float32(2) * np.float32(prm.max_rotate_degree))
     h, w = img.shape[:2]
     center = (w / 2.0, h / 2.0)
     R = cv2.getRotationMatrix2D(center, degree, 1.0)
     # expand to the rotated bounding box (reference :1588-1592)
-    box = cv2.boundingRect(cv2.boxPoints(((center[0], center[1]), (w, h), -degree)))
+    box = _rotated_bounding_rect(center, (w, h), degree)
     bw, bh = box[2], box[3]
     R[0, 2] += bw / 2.0 - center[0]
     R[1, 2] += bh / 2.0 - center[1]
@@ -167,12 +199,16 @@ def augmentation_rotate(img, mask_miss, meta: Meta, prm: AugParams, rng):
 
 
 def augmentation_croppad(img, mask_miss, meta: Meta, prm: AugParams, rng):
-    dice_x, dice_y = rng.rand(), rng.rand()
+    dice_x = np.float32(rng.rand())
+    dice_y = np.float32(rng.rand())
     crop_x, crop_y = prm.crop_size_x, prm.crop_size_y
-    x_offset = int((dice_x - 0.5) * 2 * prm.center_perterb_max)
-    y_offset = int((dice_y - 0.5) * 2 * prm.center_perterb_max)
+    # f32 inner product then C-style truncation (:1479-1480)
+    cpm = np.float32(prm.center_perterb_max)
+    x_offset = int((dice_x - np.float32(0.5)) * np.float32(2) * cpm)
+    y_offset = int((dice_y - np.float32(0.5)) * np.float32(2) * cpm)
     center = meta.main.objpos + np.array([x_offset, y_offset], np.float32)
-    cx, cy = int(center[0]), int(center[1])
+    # Point2f -> Point2i via saturate_cast = cvRound (nearest, ties to even)
+    cx, cy = int(np.rint(center[0])), int(np.rint(center[1]))
     offset_left = -(cx - crop_x // 2)
     offset_up = -(cy - crop_y // 2)
 

@@ -96,15 +96,27 @@ $HERE/main.cpp
 $BUILD/caffe/proto/caffe.pb.cc
 "
 
+# the CPM DataTransformer needs OpenCV (resize/warpAffine/CLAHE); compile it
+# against the system OpenCV 4 with a legacy-constant compat force-include
+OPENCV_FLAGS="-DUSE_OPENCV -DREF_ORACLE_HAVE_OPENCV -I/usr/include/opencv4 -include $HERE/stubs/opencv_legacy.h"
+OPENCV_LIBS="-lopencv_core -lopencv_imgproc -lopencv_imgcodecs -lopencv_highgui"
+SRCS="$SRCS
+$REF/src/caffe/data_transformer.cpp
+"
+
 OBJS=""
 for s in $SRCS; do
   o="$BUILD/$(basename "${s%.*}").o"
+  extra=""
+  case "$s" in
+    */data_transformer.cpp|*/io_lite.cpp|*/main.cpp) extra="$OPENCV_FLAGS" ;;
+  esac
   if [ ! -f "$o" ] || [ "$s" -nt "$o" ]; then
     echo "CXX $(basename $s)"
-    $CXX $FLAGS -c "$s" -o "$o"
+    $CXX $FLAGS $extra -c "$s" -o "$o"
   fi
   OBJS="$OBJS $o"
 done
 
-$CXX $OBJS -o "$BUILD/ref_oracle" -lprotobuf -lpthread
+$CXX $OBJS -o "$BUILD/ref_oracle" -lprotobuf -lpthread $OPENCV_LIBS
 echo "built $BUILD/ref_oracle"

@@ -47,4 +47,22 @@ void WriteProtoToBinaryFile(const Message& proto, const char* filename) {
   close(fd);
 }
 
+#ifdef REF_ORACLE_HAVE_OPENCV
+// Datum image decode (io.cpp:183-202 behavior) — needed by the standard
+// DataTransformer path; provided via cv::imdecode.
+cv::Mat DecodeDatumToCVMatNative(const Datum& datum) {
+  CHECK(datum.encoded()) << "Datum not encoded";
+  const std::string& data = datum.data();
+  std::vector<char> vec(data.begin(), data.end());
+  return cv::imdecode(vec, -1 /* IMREAD_UNCHANGED */);
+}
+
+cv::Mat DecodeDatumToCVMat(const Datum& datum, bool is_color) {
+  CHECK(datum.encoded()) << "Datum not encoded";
+  const std::string& data = datum.data();
+  std::vector<char> vec(data.begin(), data.end());
+  return cv::imdecode(vec, is_color ? 1 : 0);
+}
+#endif
+
 }  // namespace caffe

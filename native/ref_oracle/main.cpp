@@ -26,7 +26,79 @@
 #include "caffe/net.hpp"
 #include "caffe/solver.hpp"
 #include "caffe/solver_factory.hpp"
+#include "caffe/util/io.hpp"
 #include "caffe/util/upgrade_proto.hpp"
+
+// Deterministic libc rand() interposition: the CPM augmentation chain
+// (data_transformer.cpp:1432,1475,1530,1576) draws its dice directly from
+// rand().  Linking these definitions ahead of libc pins the sequence to a
+// documented LCG that the Python side replays exactly (RAND_MAX stays
+// 2147483647).
+static unsigned long long g_rand_state = 1;
+extern "C" void srand(unsigned s) noexcept { g_rand_state = s; }
+extern "C" int rand() noexcept {
+  g_rand_state = (g_rand_state * 1103515245ULL + 12345ULL) % 2147483648ULL;
+  return static_cast<int>(g_rand_state);
+}
+
+#ifdef REF_ORACLE_HAVE_OPENCV
+#include "caffe/data_transformer.hpp"
+
+// --transform_nv mode: run the REFERENCE CPM training transform (aug chain
+// + label generation) on a serialized Datum and dump data+label buffers.
+//   ref_oracle --transform_nv <transform.prototxt> <datum.bin> <seed>
+//              <out_prefix>
+static int run_transform_nv(int argc, char** argv) {
+  if (argc < 6) {
+    std::fprintf(stderr, "usage: %s --transform_nv transform.prototxt "
+                 "datum.bin seed out_prefix\n", argv[0]);
+    return 2;
+  }
+  caffe::Caffe::set_mode(caffe::Caffe::CPU);
+  caffe::TransformationParameter param;
+  if (!caffe::ReadProtoFromTextFile(argv[2], &param)) {
+    std::fprintf(stderr, "cannot parse %s\n", argv[2]);
+    return 2;
+  }
+  caffe::Datum datum;
+  if (!caffe::ReadProtoFromBinaryFile(argv[3], &datum)) {
+    std::fprintf(stderr, "cannot parse %s\n", argv[3]);
+    return 2;
+  }
+  srand(static_cast<unsigned>(std::atoi(argv[4])));
+
+  caffe::DataTransformer<float> dt(param, caffe::TRAIN);
+  dt.InitRand();
+  const int crop_x = param.crop_size_x();
+  const int crop_y = param.crop_size_y();
+  const int stride = param.stride();
+  const int np = param.num_parts();
+  // public entry CHECKs a 6-channel data blob (data_transformer.cpp:1177)
+  // though only the first 3 channels are written
+  caffe::Blob<float> data(1, 6, crop_y, crop_x);
+  caffe::Blob<float> label(1, 2 * (np + 1), crop_y / stride,
+                           crop_x / stride);
+  caffe::caffe_set(data.count(), 0.f, data.mutable_cpu_data());
+  caffe::caffe_set(label.count(), 0.f, label.mutable_cpu_data());
+  dt.Transform_nv(datum, &data, &label, 0);
+
+  const int grid = (crop_x / stride) * (crop_y / stride);
+  const std::string out_prefix = argv[5];
+  {
+    std::ofstream f(out_prefix + ".data.raw", std::ios::binary);
+    f.write(reinterpret_cast<const char*>(data.cpu_data()),
+            sizeof(float) * 3 * crop_x * crop_y);
+  }
+  {
+    std::ofstream f(out_prefix + ".label.raw", std::ios::binary);
+    f.write(reinterpret_cast<const char*>(label.cpu_data()),
+            sizeof(float) * 2 * (np + 1) * grid);
+  }
+  std::printf("data 3 %d %d\nlabel %d %d %d\n", crop_y, crop_x,
+              2 * (np + 1), crop_y / stride, crop_x / stride);
+  return 0;
+}
+#endif  // REF_ORACLE_HAVE_OPENCV
 
 // --solve mode: run the REFERENCE Solver for N iterations and dump the
 // final learnable params (concatenated, net param order) — the oracle for
@@ -68,6 +140,11 @@ int main(int argc, char** argv) {
   if (argc > 1 && std::string(argv[1]) == "--solve") {
     return run_solve(argc, argv);
   }
+#ifdef REF_ORACLE_HAVE_OPENCV
+  if (argc > 1 && std::string(argv[1]) == "--transform_nv") {
+    return run_transform_nv(argc, argv);
+  }
+#endif
   int argi = 1;
   caffe::Phase phase = caffe::TEST;
   if (argc > 1 && std::string(argv[1]) == "--train") {

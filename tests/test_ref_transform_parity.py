@@ -1,0 +1,152 @@
+"""Cross-IMPLEMENTATION parity for the CPM training data path: the
+reference ``DataTransformer::Transform_nv`` (augmentation chain + PAF/heatmap
+label generation, data_transformer.cpp:1207-2560) compiled UNMODIFIED into
+native/ref_oracle (--transform_nv mode, with OpenCV 4) runs the same
+reference-format Datum as ``training/transformer.py`` and both sides must
+produce the same (data, label) tensors.
+
+Randomness: the reference draws its augmentation dice straight from libc
+``rand()`` (:1432,:1475,:1530,:1576); the oracle interposes a documented LCG
+(state*1103515245+12345 mod 2^31) that :class:`LcgRand` replays here, so both
+implementations see identical dice in identical order
+(scale[, scale2] -> rotate -> croppad x,y -> flip).
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from caffe_rtpose_tpu.proto.datum import serialize_datum
+from caffe_rtpose_tpu.training.cpm_lmdb import (
+    RecordInfo, decode_cpm_datum, encode_cpm_datum)
+from caffe_rtpose_tpu.training.transformer import (
+    AugParams, Meta, Person, transform, transform_joints_coco)
+
+REF = "/root/reference"
+BUILD = "/tmp/ref_oracle_build"
+ORACLE = os.path.join(BUILD, "ref_oracle")
+HERE = os.path.dirname(__file__)
+BUILD_SH = os.path.join(HERE, "..", "native", "ref_oracle", "build.sh")
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    r = subprocess.run(["bash", BUILD_SH, BUILD], capture_output=True,
+                       text=True)
+    if r.returncode != 0 or not os.path.exists(ORACLE):
+        pytest.skip(f"oracle build failed: {r.stderr[-500:]}")
+    return ORACLE
+
+
+class LcgRand:
+    """Replays the oracle's interposed rand(): dice = f32(v)/f32(RAND_MAX)."""
+
+    def __init__(self, seed: int):
+        self.s = seed
+
+    def rand(self) -> float:
+        self.s = (self.s * 1103515245 + 12345) % 2147483648
+        return float(np.float32(self.s) / np.float32(2147483647.0))
+
+
+PRM = AugParams(stride=8, crop_size_x=112, crop_size_y=96, target_dist=0.6,
+                scale_prob=1.0, scale_min=0.7, scale_max=1.3,
+                max_rotate_degree=30.0, center_perterb_max=20.0,
+                flip_prob=0.5, sigma=7.0, np=56)
+
+TRANSFORM_PROTO = """
+stride: 8
+crop_size_x: 112
+crop_size_y: 96
+target_dist: 0.6
+scale_prob: 1.0
+scale_min: 0.7
+scale_max: 1.3
+max_rotate_degree: 30.0
+center_perterb_max: 20.0
+flip_prob: 0.5
+sigma: 7.0
+num_parts: 56
+np_in_lmdb: 17
+transform_body_joint: true
+mirror: false
+"""
+
+
+def _record(rng, h=120, w=160, num_other=1):
+    joints = np.stack([rng.uniform(8, w - 8, 17),
+                       rng.uniform(8, h - 8, 17)], 1).astype(np.float32)
+    joints = np.round(joints * 64) / 64
+    people = [Person(joints=joints,
+                     visible=rng.randint(0, 2, 17).astype(np.int32),
+                     objpos=np.array([w / 2, h / 2], np.float32))]
+    for p in range(num_other):
+        oj = np.round(np.stack([rng.uniform(8, w - 8, 17),
+                                rng.uniform(8, h - 8, 17)],
+                               1).astype(np.float32) * 64) / 64
+        people.append(Person(joints=oj,
+                             visible=np.ones(17, np.int32),
+                             objpos=np.array([w / 3, h / 3], np.float32)))
+    meta = Meta(people=people, scale_self=float(np.float32(0.85)))
+    img = rng.randint(0, 256, (h, w, 3), np.uint8)
+    mask = np.full((h, w), 255, np.uint8)
+    mask[h // 3 : h // 2, w // 4 : w // 2] = 0
+    return img, meta, mask
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42, 1234, 99991])
+def test_transform_nv_matches_reference(oracle, tmp_path, seed):
+    rng = np.random.RandomState(seed)
+    img, meta, mask = _record(rng)
+    datum = encode_cpm_datum(img, meta, mask_miss=mask, info=RecordInfo(
+        img_height=float(img.shape[0]), img_width=float(img.shape[1])))
+
+    # ---- reference side
+    tp = tmp_path / "transform.prototxt"
+    tp.write_text(TRANSFORM_PROTO)
+    dp = tmp_path / "datum.bin"
+    dp.write_bytes(serialize_datum(datum))
+    prefix = str(tmp_path / "ref")
+    r = subprocess.run([oracle, "--transform_nv", str(tp), str(dp),
+                        str(seed), prefix],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    ref_data = np.fromfile(prefix + ".data.raw", np.float32).reshape(
+        3, PRM.crop_size_y, PRM.crop_size_x)
+    ref_label = np.fromfile(prefix + ".label.raw", np.float32).reshape(
+        114, PRM.crop_size_y // 8, PRM.crop_size_x // 8)
+
+    # ---- our side: same decode path + same dice sequence
+    img2, mask2, _, meta2, _ = decode_cpm_datum(datum)
+    people = [Person(*transform_joints_coco(p.joints, p.visible),
+                     objpos=p.objpos) for p in meta2.people]
+    m = Meta(people=people, scale_self=meta2.scale_self)
+    data, label, aug = transform(img2, m, PRM, rng=LcgRand(seed),
+                                 mask_miss=mask2, train=True)
+
+    # label channels (57..113: gaussians + PAF vectors + background): the
+    # aug geometry, joint transforms, flips and label rasterization agree
+    # with the reference C++ to the last float ulp (libm exp() vs numpy
+    # exp() round the tail differently on some inputs — atol 1e-6 covers
+    # that while still pinning the geometry bit-for-bit: any real geometry
+    # bug shifts values by whole gaussian-levels, orders of magnitude more).
+    np.testing.assert_allclose(label[57:], ref_label[57:], atol=1e-6,
+                               err_msg=f"seed {seed} labels")
+    # weight channels pass through a u8 mask warp; the image data passes
+    # through u8 INTER_CUBIC warp/resize — the oracle links the system
+    # OpenCV 4.6 while Python runs the cv2 5.0 wheel, whose fixed-point
+    # interpolation rounds the last bits differently.  Residuals are a few
+    # u8 levels on a few percent of interpolated pixels.
+    np.testing.assert_allclose(label[:57], ref_label[:57], atol=0.01,
+                               err_msg=f"seed {seed} weights")
+    d_u8 = np.abs(data - ref_data) * 256
+    assert d_u8.max() <= 8, f"seed {seed}: data diff {d_u8.max()} u8 levels"
+    assert (d_u8 > 2).mean() < 0.10, f"seed {seed}: widespread data diff"
+    # the augmentation actually did something nontrivial
+    assert not np.array_equal(
+        data, ((img2.astype(np.float32) - 128) / 256)[..., :112].transpose(
+            2, 0, 1)[:, :96, :112])
