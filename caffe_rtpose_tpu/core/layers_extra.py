@@ -222,30 +222,51 @@ def _recurrent_params(lv: View, input_dim: int, H: int, n_blobs: int):
 
 @register("LSTM")
 def build_lstm(ctx: BuildCtx) -> LayerImpl:
-    """Caffe LSTMLayer (lstm_layer.cpp): bottoms x (T, N, D), cont (T, N);
-    params [W_xc (4H, D), b_c (4H), W_hc (4H, H)]; gate order i, f, o, g."""
+    """Caffe LSTMLayer (lstm_layer.cpp): bottoms x (T, N, D), cont (T, N)
+    [, x_static (N, Ds)] [, h_0 (1, N, H), c_0 (1, N, H) when
+    recurrent_param.expose_hidden]; tops y (T, N, H) [, h_T, c_T].
+
+    Params in the reference's unrolled-net order (FillUnrolledNet,
+    lstm_layer.cpp:107-145): [W_xc (4H, D), b_c (4H) [, W_xc_static
+    (4H, Ds)], W_hc (4H, H)]; gate order i, f, o, g; a static bottom adds
+    its transform to every timestep's gate input; cont gates both h_{t-1}
+    (h_conted scale) and c_{t-1} (inside LSTMUnit).  Static-input presence
+    is inferred from the bottom count like recurrent_layer.cpp:44."""
     lv = ctx.lv
     H = int(lv.recurrent_param.num_output)
     x_info = ctx.bottoms[0]
     T, N = x_info.shape_caffe[0], x_info.shape_caffe[1]
     D = int(np.prod(x_info.shape_caffe[2:]))
-    wf, bf = _recurrent_params(lv, D, H, 3)
-    lr = [_param_mults(lv, i) for i in range(3)]
-    params = [
-        ParamInfo((4 * H, D), lambda key: op_filler.fill(key, (4 * H, D), wf),
-                  lambda a: a.reshape(4 * H, D), lambda a: a, lr[0][0], lr[0][1]),
-        ParamInfo((4 * H,), lambda key: op_filler.fill(key, (4 * H,), bf),
-                  lambda a: a.reshape(4 * H), lambda a: a, lr[1][0], lr[1][1]),
-        ParamInfo((4 * H, H), lambda key: op_filler.fill(key, (4 * H, H), wf),
-                  lambda a: a.reshape(4 * H, H), lambda a: a, lr[2][0], lr[2][1]),
-    ]
     expose = bool(lv.recurrent_param.expose_hidden)
+    static = len(ctx.bottoms) > 2 + (2 if expose else 0)
+    Ds = int(np.prod(ctx.bottoms[2].shape_caffe[1:])) if static else 0
+    wf, bf = _recurrent_params(lv, D, H, 3)
+    shapes = [(4 * H, D), (4 * H,)] + ([(4 * H, Ds)] if static else []) \
+        + [(4 * H, H)]
+    fillers = [wf, bf] + ([wf] if static else []) + [wf]
+    params = []
+    for i, (shp, fl) in enumerate(zip(shapes, fillers)):
+        lr_i, dc_i = _param_mults(lv, i)
+        params.append(ParamInfo(
+            shp, (lambda s, f: lambda key: op_filler.fill(key, s, f))(shp, fl),
+            (lambda s: lambda a: a.reshape(s))(shp), lambda a: a, lr_i, dc_i))
 
     def apply(p, bots, rng, training, knobs=None):
-        W_xc, b_c, W_hc = p
+        if static:
+            W_xc, b_c, W_xc_static, W_hc = p
+        else:
+            (W_xc, b_c, W_hc), W_xc_static = p, None
         x = bots[0].reshape(T, N, D).astype(jnp.float32)
         cont = bots[1].reshape(T, N).astype(jnp.float32)
         xw = jnp.einsum("tnd,gd->tng", x, W_xc) + b_c  # (T, N, 4H)
+        if static:
+            xs = bots[2].reshape(N, Ds).astype(jnp.float32)
+            xw = xw + (xs @ W_xc_static.T)[None]
+        if expose:
+            h0 = bots[-2].reshape(N, H).astype(jnp.float32)
+            c0 = bots[-1].reshape(N, H).astype(jnp.float32)
+        else:
+            h0 = c0 = jnp.zeros((N, H), jnp.float32)
 
         def step(carry, inp):
             h_prev, c_prev = carry
@@ -261,11 +282,10 @@ def build_lstm(ctx: BuildCtx) -> LayerImpl:
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        init = (jnp.zeros((N, H), jnp.float32), jnp.zeros((N, H), jnp.float32))
-        (h_T, c_T), hs = jax.lax.scan(step, init, (xw, cont))
+        (h_T, c_T), hs = jax.lax.scan(step, (h0, c0), (xw, cont))
         out = hs.astype(bots[0].dtype)
         if expose:
-            return (out, h_T, c_T)
+            return (out, h_T.reshape(1, N, H), c_T.reshape(1, N, H))
         return (out,)
 
     return _base(ctx, apply, params, top_nhwc=[False] * (3 if expose else 1))
@@ -274,28 +294,41 @@ def build_lstm(ctx: BuildCtx) -> LayerImpl:
 @register("RNN")
 def build_rnn(ctx: BuildCtx) -> LayerImpl:
     """Caffe RNNLayer (rnn_layer.cpp): h_t = tanh(W_hh h_{t-1}*cont + W_xh x_t
-    + b_h); o_t = tanh(W_ho h_t + b_o); params in caffe order
-    [W_xh (H,D), b_h (H), W_hh (H,H), W_ho (H,H), b_o (H)]."""
+    + b_h [+ W_xh_static x_static]); o_t = tanh(W_ho h_t + b_o); bottoms
+    x (T, N, D), cont (T, N) [, x_static (N, Ds)] [, h_0 (1, N, H)]; params
+    in the unrolled-net order (rnn_layer.cpp:93-211): [W_xh (H,D), b_h (H)
+    [, W_xh_static (H,Ds)], W_hh (H,H), W_ho (H,H), b_o (H)]."""
     lv = ctx.lv
     H = int(lv.recurrent_param.num_output)
     x_info = ctx.bottoms[0]
     T, N = x_info.shape_caffe[0], x_info.shape_caffe[1]
     D = int(np.prod(x_info.shape_caffe[2:]))
+    expose = bool(lv.recurrent_param.expose_hidden)
+    static = len(ctx.bottoms) > 2 + (1 if expose else 0)
+    Ds = int(np.prod(ctx.bottoms[2].shape_caffe[1:])) if static else 0
     wf, bf = _recurrent_params(lv, D, H, 5)
-    shapes = [(H, D), (H,), (H, H), (H, H), (H,)]
-    fillers = [wf, bf, wf, wf, bf]
+    shapes = [(H, D), (H,)] + ([(H, Ds)] if static else []) \
+        + [(H, H), (H, H), (H,)]
+    fillers = [wf, bf] + ([wf] if static else []) + [wf, wf, bf]
     params = []
     for i, (shp, fl) in enumerate(zip(shapes, fillers)):
         lr_i, dc_i = _param_mults(lv, i)
         params.append(ParamInfo(shp, (lambda s, f: lambda key: op_filler.fill(key, s, f))(shp, fl),
                                 (lambda s: lambda a: a.reshape(s))(shp), lambda a: a, lr_i, dc_i))
-    expose = bool(lv.recurrent_param.expose_hidden)
 
     def apply(p, bots, rng, training, knobs=None):
-        W_xh, b_h, W_hh, W_ho, b_o = p
+        if static:
+            W_xh, b_h, W_xh_static, W_hh, W_ho, b_o = p
+        else:
+            (W_xh, b_h, W_hh, W_ho, b_o), W_xh_static = p, None
         x = bots[0].reshape(T, N, D).astype(jnp.float32)
         cont = bots[1].reshape(T, N).astype(jnp.float32)
         xw = jnp.einsum("tnd,hd->tnh", x, W_xh) + b_h
+        if static:
+            xs = bots[2].reshape(N, Ds).astype(jnp.float32)
+            xw = xw + (xs @ W_xh_static.T)[None]
+        h0 = (bots[-1].reshape(N, H).astype(jnp.float32) if expose
+              else jnp.zeros((N, H), jnp.float32))
 
         def step(h_prev, inp):
             xt, ct = inp
@@ -303,10 +336,10 @@ def build_rnn(ctx: BuildCtx) -> LayerImpl:
             o = jnp.tanh(h @ W_ho.T + b_o)
             return h, o
 
-        h_T, os_ = jax.lax.scan(step, jnp.zeros((N, H), jnp.float32), (xw, cont))
+        h_T, os_ = jax.lax.scan(step, h0, (xw, cont))
         out = os_.astype(bots[0].dtype)
         if expose:
-            return (out, h_T)
+            return (out, h_T.reshape(1, N, H))
         return (out,)
 
     return _base(ctx, apply, params, top_nhwc=[False] * (2 if expose else 1))

@@ -81,6 +81,14 @@ $REF/src/caffe/layers/multinomial_logistic_loss_layer.cpp
 $REF/src/caffe/layers/maximum_layer.cpp
 $REF/src/caffe/layers/parameter_layer.cpp
 $REF/src/caffe/layers/dummy_data_layer.cpp
+$REF/src/caffe/layers/recurrent_layer.cpp
+$REF/src/caffe/layers/rnn_layer.cpp
+$REF/src/caffe/layers/lstm_layer.cpp
+$REF/src/caffe/layers/lstm_unit_layer.cpp
+$REF/src/caffe/layers/spp_layer.cpp
+$REF/src/caffe/layers/filter_layer.cpp
+$REF/src/caffe/layers/accuracy_layer.cpp
+$REF/src/caffe/layers/silence_layer.cpp
 $REF/src/caffe/util/benchmark.cpp
 $REF/src/caffe/solver.cpp
 $REF/src/caffe/solvers/sgd_solver.cpp

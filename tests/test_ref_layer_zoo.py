@@ -290,7 +290,105 @@ CASES = {
         ['layer { name: "sm" type: "Softmax" bottom: "x" top: "y" '
          'softmax_param { axis: 2 } }'],
         ["y"], dict(rtol=1e-4)),
+    # recurrent family: the reference runs these through an internal
+    # unrolled Net (recurrent_layer.cpp); cont=0 at t=2 of stream 0
+    # exercises the mid-sequence state flush
+    "lstm_seq": (
+        [("x", RS.randn(4, 2, 5).astype(np.float32)),
+         ("cont", np.array([[0, 0], [1, 1], [0, 1], [1, 1]], np.float32))],
+        ['layer { name: "lstm" type: "LSTM" bottom: "x" bottom: "cont" '
+         'top: "y" recurrent_param { num_output: 3 '
+         'weight_filler { type: "constant" } } }'],
+        ["y"], dict(rtol=1e-5, atol=1e-6)),
+    "rnn_seq": (
+        [("x", RS.randn(3, 2, 4).astype(np.float32)),
+         ("cont", np.array([[0, 0], [1, 0], [1, 1]], np.float32))],
+        ['layer { name: "rnn" type: "RNN" bottom: "x" bottom: "cont" '
+         'top: "y" recurrent_param { num_output: 3 '
+         'weight_filler { type: "constant" } } }'],
+        ["y"], dict(rtol=1e-5, atol=1e-6)),
+    "lstm_unit_step": (
+        [("c_prev", RS.randn(1, 3, 4).astype(np.float32)),
+         ("gates", RS.randn(1, 3, 16).astype(np.float32)),
+         ("cont", np.array([[1., 0., 1.]], np.float32))],
+        ['layer { name: "u" type: "LSTMUnit" bottom: "c_prev" '
+         'bottom: "gates" bottom: "cont" top: "c" top: "h" }'],
+        ["c", "h"], {}),
+    "spp_pyramid_max": (
+        [("x", X4)],
+        ['layer { name: "sp" type: "SPP" bottom: "x" top: "y" '
+         'spp_param { pyramid_height: 3 } }'],
+        ["y"], {}),
+    "spp_pyramid_ave": (
+        [("x", X4)],
+        ['layer { name: "sp" type: "SPP" bottom: "x" top: "y" '
+         'spp_param { pyramid_height: 2 pool: AVE } }'],
+        ["y"], {}),
+    "accuracy_topk_ignore": (
+        [("x", RS.randn(6, 5).astype(np.float32)),
+         ("lab", np.array([0., 3., 2., 1., 4., 2.], np.float32))],
+        ['layer { name: "ac" type: "Accuracy" bottom: "x" bottom: "lab" '
+         'top: "y" accuracy_param { top_k: 2 ignore_label: 2 } }'],
+        ["y"], {}),
+    "im2col_layer": (
+        [("x", X4)],
+        ['layer { name: "ic" type: "Im2col" bottom: "x" top: "y" '
+         'convolution_param { kernel_size: 3 stride: 2 pad: 1 } }'],
+        ["y"], {}),
+    "lstm_static_expose": (
+        [("x", RS.randn(3, 2, 4).astype(np.float32)),
+         ("cont", np.array([[1, 1], [1, 0], [1, 1]], np.float32)),
+         ("xs", RS.randn(2, 6).astype(np.float32)),
+         ("h0", RS.randn(1, 2, 3).astype(np.float32)),
+         ("c0", RS.randn(1, 2, 3).astype(np.float32))],
+        ['layer { name: "lstm" type: "LSTM" bottom: "x" bottom: "cont" '
+         'bottom: "xs" bottom: "h0" bottom: "c0" top: "y" top: "ht" '
+         'top: "ct" recurrent_param { num_output: 3 expose_hidden: true '
+         'weight_filler { type: "constant" } } }'],
+        ["y", "ht", "ct"], dict(rtol=1e-5, atol=1e-6)),
+    "rnn_static_expose": (
+        [("x", RS.randn(3, 2, 5).astype(np.float32)),
+         ("cont", np.array([[1, 1], [0, 1], [1, 1]], np.float32)),
+         ("xs", RS.randn(2, 4).astype(np.float32)),
+         ("h0", RS.randn(1, 2, 3).astype(np.float32))],
+        ['layer { name: "rnn" type: "RNN" bottom: "x" bottom: "cont" '
+         'bottom: "xs" bottom: "h0" top: "y" top: "ht" '
+         'recurrent_param { num_output: 3 expose_hidden: true '
+         'weight_filler { type: "constant" } } }'],
+        ["y", "ht"], dict(rtol=1e-5, atol=1e-6)),
 }
+
+
+def test_filter_kept_prefix_matches_reference(oracle, tmp_path):
+    """Filter deviates by design (static batch, zero tail — see
+    build_filter); the kept PREFIX must still match the reference's
+    data-dependent output exactly, row for row."""
+    import jax.numpy as jnp
+
+    from caffe_rtpose_tpu.core.net import Net
+
+    x = RS.randn(5, 3, 2, 2).astype(np.float32)
+    sel = np.array([1., 0., 1., 1., 0.], np.float32)
+    proto_text = _proto([("x", x.shape), ("sel", (5,))],
+                        ['layer { name: "ft" type: "Filter" bottom: "x" '
+                         'bottom: "sel" top: "y" }'])
+    proto = os.path.join(str(tmp_path), "filter.prototxt")
+    open(proto, "w").write(proto_text)
+    net = Net(proto, phase="TEST")
+    ours = np.asarray(net.forward({"x": x, "sel": sel}, outputs=["y"])["y"])
+
+    raw = os.path.join(str(tmp_path), "filter.raw")
+    with open(raw, "wb") as f:
+        f.write(np.ascontiguousarray(x, np.float32).tobytes())
+        f.write(np.ascontiguousarray(sel, np.float32).tobytes())
+    prefix = os.path.join(str(tmp_path), "filter.out")
+    r = subprocess.run([oracle, proto, "-", raw, prefix, "y"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    want = np.fromfile(f"{prefix}.y.raw", np.float32).reshape(3, 3, 2, 2)
+    assert ours.shape == (5, 3, 2, 2)          # static full batch
+    np.testing.assert_array_equal(ours[:3], want)   # kept rows, in order
+    np.testing.assert_array_equal(ours[3:], 0.0)    # zero tail
 
 
 @pytest.mark.parametrize("tag", sorted(CASES))
