@@ -100,14 +100,29 @@ def _record(rng, h=120, w=160, num_other=1):
 
 @pytest.mark.parametrize("seed", [1, 7, 42, 1234, 99991])
 def test_transform_nv_matches_reference(oracle, tmp_path, seed):
+    _check_transform_case(oracle, tmp_path, seed, clahe=False)
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+def test_transform_nv_clahe_matches_reference(oracle, tmp_path, seed):
+    """do_clahe runs the Lab-space CLAHE preprocessing (DataTransformer::
+    clahe, data_transformer.cpp:2505-2521) ahead of the aug chain."""
+    _check_transform_case(oracle, tmp_path, seed, clahe=True)
+
+
+def _check_transform_case(oracle, tmp_path, seed, clahe):
     rng = np.random.RandomState(seed)
     img, meta, mask = _record(rng)
     datum = encode_cpm_datum(img, meta, mask_miss=mask, info=RecordInfo(
         img_height=float(img.shape[0]), img_width=float(img.shape[1])))
 
+    import dataclasses
+    prm = dataclasses.replace(PRM, do_clahe=True) if clahe else PRM
+    proto_text = TRANSFORM_PROTO + ("do_clahe: true\n" if clahe else "")
+
     # ---- reference side
     tp = tmp_path / "transform.prototxt"
-    tp.write_text(TRANSFORM_PROTO)
+    tp.write_text(proto_text)
     dp = tmp_path / "datum.bin"
     dp.write_bytes(serialize_datum(datum))
     prefix = str(tmp_path / "ref")
@@ -125,7 +140,7 @@ def test_transform_nv_matches_reference(oracle, tmp_path, seed):
     people = [Person(*transform_joints_coco(p.joints, p.visible),
                      objpos=p.objpos) for p in meta2.people]
     m = Meta(people=people, scale_self=meta2.scale_self)
-    data, label, aug = transform(img2, m, PRM, rng=LcgRand(seed),
+    data, label, aug = transform(img2, m, prm, rng=LcgRand(seed),
                                  mask_miss=mask2, train=True)
 
     # label channels (57..113: gaussians + PAF vectors + background): the
