@@ -136,9 +136,34 @@ static int run_solve(int argc, char** argv) {
   return 0;
 }
 
+// --upgrade mode: run the REFERENCE legacy-format migration
+// (UpgradeNetAsNeeded: V0 padding dissolution + per-type param moves,
+// V1 name/type tables, input-field modernization, upgrade_proto.cpp) on a
+// prototxt and emit the upgraded NetParameter in text format.
+//   ref_oracle --upgrade <net.prototxt> <out.prototxt>
+static int run_upgrade(int argc, char** argv) {
+  if (argc < 4) {
+    std::fprintf(stderr, "usage: %s --upgrade net.prototxt out.prototxt\n",
+                 argv[0]);
+    return 2;
+  }
+  caffe::NetParameter param;
+  if (!caffe::ReadProtoFromTextFile(argv[2], &param)) {
+    std::fprintf(stderr, "cannot parse %s\n", argv[2]);
+    return 2;
+  }
+  caffe::UpgradeNetAsNeeded(argv[2], &param);
+  std::ofstream f(argv[3]);
+  f << param.DebugString();
+  return 0;
+}
+
 int main(int argc, char** argv) {
   if (argc > 1 && std::string(argv[1]) == "--solve") {
     return run_solve(argc, argv);
+  }
+  if (argc > 1 && std::string(argv[1]) == "--upgrade") {
+    return run_upgrade(argc, argv);
   }
 #ifdef REF_ORACLE_HAVE_OPENCV
   if (argc > 1 && std::string(argv[1]) == "--transform_nv") {
