@@ -17,6 +17,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from . import coord_map  # noqa: F401  (caffe.coord_map parity)
+from . import proto  # noqa: F401  (caffe.proto.caffe_pb2 parity, lazy)
 from .core import net_spec  # noqa: F401  (caffe.net_spec parity)
 from .core.net import Net as _CoreNet
 from .core.net_spec import L as layers  # noqa: F401  (caffe.layers parity)
