@@ -27,6 +27,60 @@ from .ops import layout
 TRAIN = "TRAIN"
 TEST = "TEST"
 
+# ---------------------------------------------------------------- singleton
+# Caffe-singleton shims (_caffe.cpp:286-291 / common.hpp:102-183).  Mode
+# maps onto the JAX default device: cpu <-> the host backend, gpu <-> the
+# accelerator backend (TPU here); device indexing picks within the
+# accelerator's device list.
+
+_default_seed: Optional[int] = None
+_device_index = 0
+
+
+def _accel_devices():
+    import jax
+
+    dv = [d for d in jax.devices() if d.platform != "cpu"]
+    return dv or jax.devices()
+
+
+def set_mode_cpu() -> None:
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def set_mode_gpu() -> None:
+    import jax
+
+    jax.config.update("jax_default_device", _accel_devices()[_device_index])
+
+
+def set_device(device_id: int) -> None:
+    global _device_index
+    _device_index = int(device_id)
+    import jax
+
+    dv = _accel_devices()
+    if dv[0].platform != "cpu":
+        jax.config.update("jax_default_device", dv[_device_index % len(dv)])
+
+
+def set_random_seed(seed: int) -> None:
+    """Caffe::set_random_seed: seeds both weight init (new Nets default to
+    this seed) and the host-side rng."""
+    global _default_seed
+    _default_seed = int(seed)
+    np.random.seed(int(seed) % (2 ** 32))
+
+
+def layer_type_list() -> List[str]:
+    """caffe.layer_type_list() (LayerRegistry::LayerTypeList)."""
+    from .core.data_layers import DATA_LAYER_TYPES
+    from .core.layers import REGISTRY
+
+    return sorted(set(REGISTRY) | set(DATA_LAYER_TYPES))
+
 
 class _Blob:
     """pycaffe Blob facade: .data / .diff / .shape."""
@@ -66,6 +120,8 @@ class Net:
         facades."""
         if weights in (TRAIN, TEST):  # Net(proto, phase) signature
             phase, weights = weights, None
+        if _default_seed is not None and "seed" not in kw:
+            kw["seed"] = _default_seed  # caffe.set_random_seed
         self._proto, self._phase, self._kw = prototxt, phase, dict(kw)
         self._fetch_all = bool(fetch_all_blobs)
         self._net = _CoreNet(prototxt, phase=phase, **kw)
@@ -108,6 +164,34 @@ class Net:
     def set_input_arrays(self, data: np.ndarray, labels: Optional[np.ndarray] = None) -> None:
         """Bind arrays to the MemoryData layer (pycaffe Net.set_input_arrays)."""
         self._net.set_input_arrays(data, labels)
+
+    def clear_param_diffs(self) -> None:
+        """Net::ClearParamDiffs (pycaffe net.clear_param_diffs())."""
+        for blobs in self.params.values():
+            for b in blobs:
+                b.diff[...] = 0.0
+        for b in self.blobs.values():
+            b.diff[...] = 0.0
+
+    def share_with(self, other: "Net") -> None:
+        """Net::ShareTrainedLayersWith: adopt the other net's params for
+        layers with matching names (weights copied — jax arrays are
+        immutable, so 'sharing' is value semantics here)."""
+        other._push_params()
+        weights = {name: [np.asarray(b.data, np.float32).reshape(-1)
+                          for b in blobs]
+                   for name, blobs in other.params.items()
+                   if name in self.params}
+        self._net.load_weights(weights)
+        self._refresh_params()
+
+    def save_hdf5(self, path: str) -> None:
+        self._push_params()
+        self._net.save_hdf5(path)
+
+    def load_hdf5(self, path: str) -> None:
+        self._net.load_hdf5(path)
+        self._refresh_params()
 
     def reshape(self) -> None:
         """Apply user edits of input blob shapes (pycaffe pattern:
@@ -521,3 +605,8 @@ def SGDSolver(solver_file: str, data_fn=None):
 
 
 AdamSolver = NesterovSolver = AdaGradSolver = RMSPropSolver = AdaDeltaSolver = SGDSolver
+
+
+def get_solver(solver_file: str, data_fn=None):
+    """caffe.get_solver (solver type read from the prototxt)."""
+    return SGDSolver(solver_file, data_fn)

@@ -179,3 +179,107 @@ class TestLayersFacade:
         assert net.layers[0].blobs[0].data.shape == (4, 3, 3, 3)
         assert net.top_names["conv1"] == ["conv1"]
         assert net.bottom_names["fc"] == ["conv1"]
+
+
+# ---- pycaffe singleton + Net management surface (reference
+# python/caffe/test/test_net.py, test_layer_type_list.py)
+
+def _tiny_proto(tmp_path, name="t"):
+    p = tmp_path / f"{name}.prototxt"
+    p.write_text("""
+name: "tiny"
+input: "x" input_shape { dim: 1 dim: 2 dim: 4 dim: 4 }
+layer { name: "c" type: "Convolution" bottom: "x" top: "y"
+  convolution_param { num_output: 3 kernel_size: 3 pad: 1
+    weight_filler { type: "gaussian" std: 0.2 } } }
+""")
+    return str(p)
+
+
+def test_layer_type_list():
+    types = caffe.layer_type_list()
+    for t in ("Convolution", "Pooling", "LSTM", "Data", "Nms", "ImResize",
+              "EuclideanmaskLoss", "Python"):
+        assert t in types, t
+
+
+def test_clear_param_diffs(tmp_path):
+    net = caffe.Net(_tiny_proto(tmp_path), caffe.TEST)
+    net.params["c"][0].diff[...] = 3.0
+    net.blobs["x"].diff[...] = 2.0
+    net.clear_param_diffs()
+    assert not net.params["c"][0].diff.any()
+    assert not net.blobs["x"].diff.any()
+
+
+def test_share_with_and_hdf5(tmp_path):
+    a = caffe.Net(_tiny_proto(tmp_path, "a"), caffe.TEST)
+    b = caffe.Net(_tiny_proto(tmp_path, "b"), caffe.TEST)
+    b.params["c"][0].data[...] = 7.0
+    a.share_with(b)
+    np.testing.assert_array_equal(a.params["c"][0].data, 7.0)
+
+    h5 = str(tmp_path / "w.h5")
+    a.save_hdf5(h5)
+    c = caffe.Net(_tiny_proto(tmp_path, "c"), caffe.TEST)
+    c.load_hdf5(h5)
+    np.testing.assert_array_equal(c.params["c"][0].data, 7.0)
+
+
+def test_set_random_seed_determinism(tmp_path):
+    caffe.set_random_seed(1234)
+    w1 = caffe.Net(_tiny_proto(tmp_path), caffe.TEST).params["c"][0].data
+    caffe.set_random_seed(1234)
+    w2 = caffe.Net(_tiny_proto(tmp_path), caffe.TEST).params["c"][0].data
+    caffe.set_random_seed(99)
+    w3 = caffe.Net(_tiny_proto(tmp_path), caffe.TEST).params["c"][0].data
+    caffe._default_seed = None  # don't leak into other tests
+    np.testing.assert_array_equal(w1, w2)
+    assert not np.array_equal(w1, w3)
+
+
+STAGED_NET = """
+name: "staged"
+input: "data" input_shape { dim: 1 dim: 1 dim: 2 dim: 2 }
+layer { name: "NoLevel" type: "ReLU" bottom: "data" top: "NoLevel" }
+layer { name: "Level0" type: "ReLU" bottom: "data" top: "Level0"
+  include { min_level: 0 max_level: 0 } }
+layer { name: "Level1" type: "ReLU" bottom: "data" top: "Level1"
+  include { min_level: 1 } }
+layer { name: "A" type: "ReLU" bottom: "data" top: "A"
+  include { stage: "A" } }
+layer { name: "B" type: "ReLU" bottom: "data" top: "B"
+  include { stage: "B" } }
+layer { name: "AorB" type: "ReLU" bottom: "data" top: "AorB"
+  include { stage: "A" } include { stage: "B" } }
+layer { name: "AandB" type: "ReLU" bottom: "data" top: "AandB"
+  include { stage: "A" stage: "B" } }
+"""
+
+
+def _staged(tmp_path, **kw):
+    p = tmp_path / "staged.prototxt"
+    p.write_text(STAGED_NET)
+    net = caffe.Net(str(p), caffe.TEST, **kw)
+    return [b for b in net.blobs if b != "data"]
+
+
+def test_net_level_filtering(tmp_path):
+    assert _staged(tmp_path) == ["NoLevel", "Level0"]
+    assert _staged(tmp_path, level=1) == ["NoLevel", "Level1"]
+
+
+def test_net_stage_filtering(tmp_path):
+    assert _staged(tmp_path, stages=["A"]) == ["NoLevel", "Level0", "A",
+                                               "AorB"]
+    assert _staged(tmp_path, stages=["B"]) == ["NoLevel", "Level0", "B",
+                                               "AorB"]
+    assert _staged(tmp_path, stages=["A", "B"]) == [
+        "NoLevel", "Level0", "A", "B", "AorB", "AandB"]
+
+
+def test_mode_shims_run():
+    caffe.set_mode_cpu()
+    caffe.set_mode_gpu()
+    caffe.set_device(0)
+    caffe.set_mode_cpu()
