@@ -114,7 +114,49 @@ def _normalize(v):
     return v
 
 
+V0_DATA_PROTOTXT = """
+name: "v0_data_net"
+layers {
+  layer {
+    name: "data" type: "data" source: "train_db" batchsize: 4
+    scale: 0.0078125 meanfile: "mean.binaryproto" cropsize: 8 mirror: true
+    rand_skip: 2
+  }
+  top: "data" top: "label"
+}
+layers {
+  layer {
+    name: "win" type: "window_data" source: "win.txt" batchsize: 2
+    cropsize: 12 mirror: false det_fg_threshold: 0.6 det_bg_threshold: 0.4
+    det_fg_fraction: 0.3 det_context_pad: 5 det_crop_mode: "square"
+  }
+  top: "win" top: "winlab"
+}
+layers {
+  layer {
+    name: "imgs" type: "images" source: "list.txt" batchsize: 3
+    scale: 0.5 new_height: 32 new_width: 24 shuffle_images: true
+  }
+  top: "imgs" top: "imglab"
+}
+layers {
+  layer { name: "cc" type: "concat" concat_dim: 1 }
+  bottom: "data" bottom: "imgs" top: "cc"
+}
+layers {
+  layer { name: "ig" type: "infogain_loss" source: "H.binaryproto" }
+  bottom: "cc" bottom: "label" top: "ig"
+}
+layers {
+  layer { name: "h5o" type: "hdf5_output"
+          hdf5_output_param { file_name: "out.h5" } }
+  bottom: "cc" bottom: "label"
+}
+"""
+
+
 @pytest.mark.parametrize("tag,text", [("v0", V0_PROTOTXT),
+                                      ("v0_data", V0_DATA_PROTOTXT),
                                       ("v1", V1_PROTOTXT)])
 def test_upgrade_matches_reference_build(oracle, tmp_path, tag, text):
     src = tmp_path / f"{tag}.prototxt"
