@@ -30,6 +30,16 @@ inline bool create_directory(const path& p) {
   return std::filesystem::create_directory(p);
 }
 
+// rtpose.cpp surface
+using std::filesystem::directory_iterator;
+inline bool is_directory(const path& p) {
+  return std::filesystem::is_directory(p);
+}
+inline bool is_directory(const std::filesystem::file_status& s) {
+  return std::filesystem::is_directory(s);
+}
+inline bool exists(const path& p) { return std::filesystem::exists(p); }
+
 }  // namespace filesystem
 }  // namespace boost
 #endif

@@ -17,6 +17,9 @@ inline void InitGoogleLogging(const char*) {}
 inline void InstallFailureSignalHandler() {}
 }  // namespace google
 
+// glog's DECLARE'd flags (rtpose.cpp reads/sets FLAGS_logtostderr)
+static int FLAGS_logtostderr = 1;
+
 namespace ref_oracle_log {
 
 enum Severity { INFO = 0, WARNING = 1, ERROR = 2, FATAL = 3 };
