@@ -252,3 +252,28 @@ class TestInsertSplits:
         split = next(l for l in sp["layer"] if l["type"] == "Split")
         assert split["loss_weight"] == [2.5, 0.0]
         assert "loss_weight" not in sp["layer"][0]
+
+
+def test_caffenet_builds_and_trains_one_step():
+    """BVLC reference CaffeNet regenerated for the framework-level training
+    benchmark (reference docs/performance_hardware.md:18); grouped convs,
+    LRN, dropout, softmax loss all in one classic topology."""
+    import numpy as np
+
+    from caffe_rtpose_tpu.core.net import Net
+    from caffe_rtpose_tpu.models.caffenet import make_caffenet
+    from caffe_rtpose_tpu.training.solver import Solver
+
+    net = Net(make_caffenet(batch=2, crop=67, num_classes=10),
+              phase="TRAIN", seed=0)
+    rs = np.random.RandomState(0)
+    feed = {"data": rs.rand(2, 3, 67, 67).astype(np.float32) * 255,
+            "label": np.array([3.0, 5.0], np.float32)}
+    l0 = float(net.forward(feed)["loss"])
+    assert abs(l0 - np.log(10)) < 1.0  # ~uniform logits at init
+
+    solver = Solver({"base_lr": 0.001, "momentum": 0.9,
+                     "lr_policy": "fixed", "max_iter": 3, "display": 0},
+                    net, lambda it: feed)
+    solver.step(3)
+    assert np.isfinite(solver.smoothed_loss)

@@ -174,3 +174,50 @@ layer {{ name: "loss" type: "EuclideanLoss" bottom: "pred" bottom: "y"
     assert shims(["net_speed_benchmark", str(net), "2"]) == 0
     assert "net_speed_benchmark is deprecated" in capsys.readouterr().err
     assert shims(["bogus"]) == 2
+
+
+def test_classify_detect_draw_clis(tmp_path, capsys):
+    """The pycaffe script surface (reference python/classify.py, detect.py,
+    draw_net.py) as -m CLIs over api.Classifier/Detector/draw_net_dot."""
+    from caffe_rtpose_tpu.tools import classify, detect, draw_net
+
+    proto = tmp_path / "deploy.prototxt"
+    proto.write_text("""
+name: "tinycls"
+input: "data" input_shape { dim: 10 dim: 3 dim: 32 dim: 32 }
+layer { name: "conv" type: "Convolution" bottom: "data" top: "conv"
+  convolution_param { num_output: 8 kernel_size: 5 stride: 2
+    weight_filler { type: "xavier" } } }
+layer { name: "pool" type: "Pooling" bottom: "conv" top: "pool"
+  pooling_param { pool: AVE global_pooling: true } }
+layer { name: "prob" type: "Softmax" bottom: "pool" top: "prob" }
+""")
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / f"im{i}.jpg"),
+                    (rs.rand(48, 64, 3) * 255).astype(np.uint8))
+
+    out_npy = tmp_path / "out.npy"
+    assert classify.main([str(tmp_path), str(out_npy),
+                          "--model_def", str(proto),
+                          "--images_dim", "40,40", "--mean_file", ""]) == 0
+    preds = np.load(out_npy)
+    assert preds.shape == (2, 8)
+    np.testing.assert_allclose(preds.sum(1), 1.0, rtol=1e-5)
+
+    win_csv = tmp_path / "win.csv"
+    win_csv.write_text(
+        "filename, xmin, ymin, xmax, ymax\n"
+        f"{tmp_path}/im0.jpg, 2, 3, 40, 40\n"
+        f"{tmp_path}/im1.jpg, 0, 0, 30, 30\n")
+    det_csv = tmp_path / "det.csv"
+    assert detect.main([str(win_csv), str(det_csv),
+                        "--model_def", str(proto), "--crop_mode", "list",
+                        "--mean_file", ""]) == 0
+    lines = det_csv.read_text().strip().splitlines()
+    assert len(lines) == 3 and lines[0].startswith("filename")
+
+    dot = tmp_path / "net.dot"
+    assert draw_net.main([str(proto), str(dot), "--rankdir", "TB"]) == 0
+    txt = dot.read_text()
+    assert "rankdir=TB" in txt and '"conv"' in txt
