@@ -53,7 +53,8 @@ def set_mode_cpu() -> None:
 def set_mode_gpu() -> None:
     import jax
 
-    jax.config.update("jax_default_device", _accel_devices()[_device_index])
+    dv = _accel_devices()
+    jax.config.update("jax_default_device", dv[_device_index % len(dv)])
 
 
 def set_device(device_id: int) -> None:
@@ -67,11 +68,23 @@ def set_device(device_id: int) -> None:
 
 
 def set_random_seed(seed: int) -> None:
-    """Caffe::set_random_seed: seeds both weight init (new Nets default to
-    this seed) and the host-side rng."""
+    """Caffe::set_random_seed: seeds weight init (new Nets draw from a
+    stream derived from this seed — the reference seeds one global RNG
+    whose stream ADVANCES, so two Nets built after one seeding get
+    different inits) and the host-side rng."""
     global _default_seed
     _default_seed = int(seed)
     np.random.seed(int(seed) % (2 ** 32))
+
+
+def _next_net_seed() -> Optional[int]:
+    """Consume one value from the seeded init stream (None = unseeded)."""
+    global _default_seed
+    if _default_seed is None:
+        return None
+    s = _default_seed
+    _default_seed = (s * 6364136223846793005 + 1442695040888963407) % (2 ** 31)
+    return s
 
 
 def layer_type_list() -> List[str]:
@@ -121,7 +134,7 @@ class Net:
         if weights in (TRAIN, TEST):  # Net(proto, phase) signature
             phase, weights = weights, None
         if _default_seed is not None and "seed" not in kw:
-            kw["seed"] = _default_seed  # caffe.set_random_seed
+            kw["seed"] = _next_net_seed()  # caffe.set_random_seed stream
         self._proto, self._phase, self._kw = prototxt, phase, dict(kw)
         self._fetch_all = bool(fetch_all_blobs)
         self._net = _CoreNet(prototxt, phase=phase, **kw)
@@ -166,12 +179,12 @@ class Net:
         self._net.set_input_arrays(data, labels)
 
     def clear_param_diffs(self) -> None:
-        """Net::ClearParamDiffs (pycaffe net.clear_param_diffs())."""
+        """Net::ClearParamDiffs: zeroes LEARNABLE PARAM diffs only —
+        activation-blob diffs are untouched (net.cpp ClearParamDiffs
+        iterates learnable_params_)."""
         for blobs in self.params.values():
             for b in blobs:
                 b.diff[...] = 0.0
-        for b in self.blobs.values():
-            b.diff[...] = 0.0
 
     def share_with(self, other: "Net") -> None:
         """Net::ShareTrainedLayersWith: adopt the other net's params for

@@ -45,18 +45,19 @@ def _build_and_load():
             "caffe_pb2 needs the google.protobuf runtime (the built-in "
             "proto codecs work without it)") from e
 
+    # generate + compile into a fresh PRIVATE directory every import: a
+    # predictable shared /tmp path would let another local user pre-plant
+    # a file that gets exec'd (and races concurrent test runs); protoc on
+    # this schema takes ~100 ms, not worth a shared cache
     digest = schema_digest()
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"caffe_rtpose_tpu_pb2_{digest}")
-    gen_py = os.path.join(cache, "caffe_rtpose_pb2.py")
-    if not os.path.exists(gen_py):
-        os.makedirs(cache, exist_ok=True)
-        src = os.path.join(cache, "caffe_rtpose.proto")
-        with open(src, "w") as f:
-            f.write(generate_proto())
-        subprocess.run([protoc, f"--python_out={cache}", "-I", cache,
-                        "caffe_rtpose.proto"], check=True, cwd=cache,
-                       capture_output=True)
+    workdir = tempfile.mkdtemp(prefix="caffe_rtpose_pb2_")
+    gen_py = os.path.join(workdir, "caffe_rtpose_pb2.py")
+    src = os.path.join(workdir, "caffe_rtpose.proto")
+    with open(src, "w") as f:
+        f.write(generate_proto())
+    subprocess.run([protoc, f"--python_out={workdir}", "-I", workdir,
+                    "caffe_rtpose.proto"], check=True, cwd=workdir,
+                   capture_output=True)
     spec = importlib.util.spec_from_file_location(
         f"caffe_rtpose_pb2_{digest}", gen_py)
     mod = importlib.util.module_from_spec(spec)

@@ -82,7 +82,8 @@ def main(argv=None):
         raise SystemExit("input must be .txt or .csv")
 
     t = time.time()
-    detections = detector.detect_windows(images_windows)
+    detections = (detector.detect_windows(images_windows)
+                  if images_windows else [])
     print(f"Processed {len(detections)} windows in "
           f"{time.time() - t:.3f} s.")
 

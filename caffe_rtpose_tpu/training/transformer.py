@@ -173,9 +173,12 @@ def _rotated_bounding_rect(center, size, degree):
 
 
 def augmentation_rotate(img, mask_miss, meta: Meta, prm: AugParams, rng):
-    # f32 like the reference's `float degree` (:1576-1581)
-    degree = float((np.float32(rng.rand()) - np.float32(0.5))
-                   * np.float32(2) * np.float32(prm.max_rotate_degree))
+    # reference (:1577): `degree = (dice - 0.5) * 2 * max_rotate_degree()`
+    # — dice is f32, but the 0.5 double literal promotes the whole
+    # expression to f64; the result then narrows into the f32 `degree`
+    dice = np.float32(rng.rand())
+    degree = float(np.float32(
+        (float(dice) - 0.5) * 2.0 * float(np.float32(prm.max_rotate_degree))))
     h, w = img.shape[:2]
     center = (w / 2.0, h / 2.0)
     R = cv2.getRotationMatrix2D(center, degree, 1.0)
@@ -202,10 +205,12 @@ def augmentation_croppad(img, mask_miss, meta: Meta, prm: AugParams, rng):
     dice_x = np.float32(rng.rand())
     dice_y = np.float32(rng.rand())
     crop_x, crop_y = prm.crop_size_x, prm.crop_size_y
-    # f32 inner product then C-style truncation (:1479-1480)
-    cpm = np.float32(prm.center_perterb_max)
-    x_offset = int((dice_x - np.float32(0.5)) * np.float32(2) * cpm)
-    y_offset = int((dice_y - np.float32(0.5)) * np.float32(2) * cpm)
+    # reference (:1480): `int((dice_x - 0.5) * 2 * center_perterb_max())`
+    # — f32 dice promoted to f64 by the 0.5 double literal; the product is
+    # exact in f64 before the C truncation
+    cpm = float(np.float32(prm.center_perterb_max))
+    x_offset = int((float(dice_x) - 0.5) * 2.0 * cpm)
+    y_offset = int((float(dice_y) - 0.5) * 2.0 * cpm)
     center = meta.main.objpos + np.array([x_offset, y_offset], np.float32)
     # Point2f -> Point2i via saturate_cast = cvRound (nearest, ties to even)
     cx, cy = int(np.rint(center[0])), int(np.rint(center[1]))

@@ -145,7 +145,7 @@ static std::vector<float> read_raw(const char* path) {
 }
 
 int main(int argc, char** argv) {
-  if (argc < 13) {
+  if (argc < 14) {
     std::fprintf(stderr,
         "usage: %s {coco|mpi|dist} heatmap.raw peaks.raw max_peaks net_w "
         "net_h disp_w disp_h inter_thr inter_min_above min_subset_cnt "
