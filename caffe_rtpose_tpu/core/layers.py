@@ -290,8 +290,11 @@ def build_pooling(ctx: BuildCtx) -> LayerImpl:
             return (op_nn.max_pool2d(bots[0], (kh, kw), (sh, sw), (ph, pw)),)
         if method == POOL_METHOD["AVE"]:
             return (op_nn.avg_pool2d(bots[0], (kh, kw), (sh, sw), (ph, pw)),)
+        # sample only when BOTH the build phase and the runtime flag say
+        # train (like Dropout): a TRAIN-phase net applied with
+        # training=False takes the weighted-average test path
         return (op_nn.stochastic_pool2d(bots[0], (kh, kw), (sh, sw), rng,
-                                        is_train),)
+                                        is_train and training),)
 
     return _base(ctx, apply,
                  needs_rng=(method == POOL_METHOD["STOCHASTIC"] and is_train))

@@ -103,10 +103,14 @@ class Net:
             net_param = proto
         if net_param.get("layers"):
             # legacy V0/V1 prototxt: run the UpgradeNetAsNeeded chain
-            # (reference upgrade_proto.cpp:20-76) before building
+            # (reference upgrade_proto.cpp:20-76) before building; deep
+            # copy — the upgrade pops fields out of nested layer dicts and
+            # must not mutate the caller's proto
+            import copy
+
             from ..proto.upgrade import upgrade_net_as_needed
 
-            net_param = upgrade_net_as_needed(dict(net_param))
+            net_param = upgrade_net_as_needed(copy.deepcopy(net_param))
         self.net_param = net_param
         self.phase = phase
         self.dtype = dtype

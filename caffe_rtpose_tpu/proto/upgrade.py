@@ -263,6 +263,10 @@ def upgrade_net_input(net: Dict[str, Any]) -> None:
     if shapes:
         param["shape"] = shapes
     elif dims:
+        if len(dims) != 4 * len(inputs):  # UpgradeNetInput CHECKs this
+            raise ValueError(
+                f"{len(inputs)} inputs need {4 * len(inputs)} input_dim "
+                f"values, got {len(dims)}")
         param["shape"] = [{"dim": dims[4 * i : 4 * i + 4]}
                           for i in range(len(inputs))]
     layer = {"name": "input", "type": "Input", "top": list(inputs)}

@@ -57,10 +57,11 @@ def net_speed_benchmark(argv: List[str]) -> int:
 
 
 SHIMS = {
-    "train_net": train_net,
-    "test_net": test_net,
-    "finetune_net": finetune_net,
-    "net_speed_benchmark": net_speed_benchmark,
+    "train_net": (train_net, 1, "train_net <solver> [snapshot]"),
+    "test_net": (test_net, 2, "test_net <net> <weights> [iterations]"),
+    "finetune_net": (finetune_net, 2, "finetune_net <solver> <weights>"),
+    "net_speed_benchmark": (net_speed_benchmark, 1,
+                            "net_speed_benchmark <net> [iterations]"),
 }
 
 
@@ -69,7 +70,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not argv or argv[0] not in SHIMS:
         print(f"usage: shims {{{'|'.join(SHIMS)}}} args...", file=sys.stderr)
         return 2
-    return SHIMS[argv[0]](argv[1:])
+    fn, min_args, usage = SHIMS[argv[0]]
+    if len(argv) - 1 < min_args:
+        print(f"usage: {usage}", file=sys.stderr)
+        return 2
+    return fn(argv[1:])
 
 
 if __name__ == "__main__":

@@ -338,8 +338,11 @@ class _LevelDbImpl:
     (utils/leveldb_fmt.py) — reads reference-generated datasets
     (util/db_leveldb.cpp output) without the leveldb library.
 
-    Reads snapshot the merged live state at open; writes buffer and are
-    flushed as a fresh compacted DB on commit (read-modify-write)."""
+    Reads snapshot the merged live state at open through a LAZY index:
+    keys stay in RAM, sstable values are fetched (and block-cached) on
+    access, so a multi-GB Datum DB does not load into memory.  Commits
+    APPEND the pending puts as a WriteBatch to the live .log — O(delta),
+    like real pre-compaction leveldb writes — instead of rewriting the DB."""
 
     def __init__(self, path: str, writable: bool):
         from . import leveldb_fmt as ldb
@@ -347,24 +350,40 @@ class _LevelDbImpl:
         self._ldb = ldb
         self.path = path
         self.writable = writable
+        self._overlay: dict = {}
         if os.path.exists(os.path.join(path, "CURRENT")):
-            self._items = ldb.read_db(path)
+            self._lazy = ldb.LazyDb(path)
+            self._keys = self._lazy.keys()
         elif writable:
-            self._items = []
+            self._lazy = None
+            self._keys = []
         else:
             raise FileNotFoundError(f"{path}: no LevelDB CURRENT file")
-        self._keys = [k for k, _ in self._items]
         self.pending: List[Tuple[bytes, bytes]] = []
+        self._pos_map = None
 
     def count(self):
-        return len(self._items)
+        return len(self._keys)
 
     def at(self, pos):
-        return self._items[pos]
+        k = self._keys[pos]
+        if k in self._overlay:
+            return k, self._overlay[k]
+        return k, self._lazy.value(self._lazy_pos[pos])
 
     def find(self, key):
         i = bisect_left(self._keys, key)
         return i if i < len(self._keys) and self._keys[i] == key else -1 - i
+
+    @property
+    def _lazy_pos(self):
+        # maps merged position -> LazyDb position; identity until writes
+        # interleave new keys, then rebuilt by commit()
+        if self._pos_map is None:
+            lazy_keys = self._lazy.keys() if self._lazy else []
+            lk = {k: i for i, k in enumerate(lazy_keys)}
+            self._pos_map = [lk.get(k, -1) for k in self._keys]
+        return self._pos_map
 
     def put(self, key, value):
         self.pending.append((key, value))
@@ -372,12 +391,23 @@ class _LevelDbImpl:
     def commit(self):
         if not self.writable:
             raise IOError("read-only LevelDB handle")
-        merged = dict(self._items)
-        merged.update(self.pending)
-        self._items = sorted(merged.items())
-        self._keys = [k for k, _ in self._items]
+        if not self.pending:
+            return
+        if self._lazy is None and not os.path.exists(
+                os.path.join(self.path, "CURRENT")):
+            # first commit of a fresh DB: create it, then keep appending
+            self._ldb.write_db(self.path, sorted(dict(self.pending).items()))
+            self._lazy = self._ldb.LazyDb(self.path)
+        else:
+            self._ldb.append_db(
+                self.path,
+                [(self._ldb.TYPE_VALUE, k, v) for k, v in self.pending])
+        # merge into the in-memory view without reloading values
+        self._overlay.update(self.pending)
+        merged = sorted(set(self._keys) | set(self._overlay))
+        self._keys = merged
+        self._pos_map = None
         self.pending.clear()
-        self._ldb.write_db(self.path, self._items)
 
     def close(self):
         if self.pending:

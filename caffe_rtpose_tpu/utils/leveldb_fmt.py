@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import struct
+from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional, Tuple
 
 # ----------------------------------------------------------- crc32c + mask
@@ -499,52 +500,178 @@ def read_table(path: str) -> List[Tuple[bytes, bytes]]:
 # ----------------------------------------------------------- whole-DB API
 
 
-def read_db(path: str) -> List[Tuple[bytes, bytes]]:
-    """Merged, sorted full scan of a LevelDB directory.
-
-    Gathers every (user_key, seq, type, value) from the live log and all
-    live tables named by the MANIFEST, keeps the newest sequence per user
-    key, and drops deletions — the semantics of a fresh iterator over the
-    current version (doc/impl.md)."""
+def _read_manifest(path: str):
+    """CURRENT -> merged MANIFEST state: (live_files {num: level},
+    min replayable log number, last_seq)."""
     current = os.path.join(path, "CURRENT")
     with open(current) as f:
         manifest = f.read().strip()
-    live_files: Dict[int, int] = {}  # number -> level
+    live_files: Dict[int, int] = {}
     log_number = 0
+    prev_log = None
+    last_seq = 0
     for rec in read_log(os.path.join(path, manifest)):
         edit = decode_version_edit(rec)
         log_number = edit.get("log_number", log_number)
+        prev_log = edit.get("prev_log", prev_log)
+        last_seq = edit.get("last_seq", last_seq)
         for lvl, num, _size, _s, _l in edit["new_files"]:
             live_files[num] = lvl
         for _lvl, num in edit["deleted_files"]:
             live_files.pop(num, None)
+    min_log = min(log_number, prev_log) if prev_log else log_number
+    return live_files, min_log, last_seq
 
-    entries: List[Tuple[bytes, int, int, bytes]] = []
+
+def _replayable_logs(path: str, min_log: int) -> List[str]:
+    """Every NNNNNN.log present with number >= min_log, ascending — real
+    leveldb recovery replays prev_log and any logs newer than the
+    manifest's log_number (a crash can leave both)."""
+    logs = []
+    for name in os.listdir(path):
+        if name.endswith(".log") and name[:-4].isdigit() and \
+                int(name[:-4]) >= min_log:
+            logs.append(int(name[:-4]))
+    return [os.path.join(path, f"{n:06d}.log") for n in sorted(logs)]
+
+
+def _scan_entries(path: str, keep_values: bool):
+    """Yield (user_key, seq, type, payload) from tables + replayable logs.
+    ``payload`` is the value when keep_values, else a locator:
+    ("t", table_path, entry_index) or ("m", value) for log entries."""
+    live_files, min_log, _ = _read_manifest(path)
+    entries = []
     for num in live_files:
         for name in (f"{num:06d}.ldb", f"{num:06d}.sst"):
             p = os.path.join(path, name)
             if os.path.exists(p):
-                for ikey, val in read_table(p):
+                for i, (ikey, val) in enumerate(read_table(p)):
                     uk, seq, typ = parse_internal_key(ikey)
-                    entries.append((uk, seq, typ, val))
+                    entries.append((uk, seq, typ,
+                                    val if keep_values else ("t", p, i)))
                 break
-    log_path = os.path.join(path, f"{log_number:06d}.log")
-    if os.path.exists(log_path):
+    for log_path in _replayable_logs(path, min_log):
         for rec in read_log(log_path):
             seq, ops = decode_write_batch(rec)
             for i, (typ, k, v) in enumerate(ops):
-                entries.append((k, seq + i, typ, v or b""))
+                v = v or b""
+                entries.append((k, seq + i, typ,
+                                v if keep_values else ("m", v)))
+    return entries
 
+
+def _merge_newest(entries):
+    """Sort by (key, -seq), keep newest per key, drop deletions."""
     entries.sort(key=lambda e: (e[0], -e[1]))
-    out: List[Tuple[bytes, bytes]] = []
+    out = []
     prev: Optional[bytes] = None
-    for uk, _seq, typ, val in entries:
+    for uk, _seq, typ, payload in entries:
         if uk == prev:
             continue
         prev = uk
         if typ == TYPE_VALUE:
-            out.append((uk, val))
+            out.append((uk, payload))
     return out
+
+
+def read_db(path: str) -> List[Tuple[bytes, bytes]]:
+    """Merged, sorted full scan of a LevelDB directory.
+
+    Gathers every (user_key, seq, type, value) from the replayable logs
+    and all live tables named by the MANIFEST, keeps the newest sequence
+    per user key, and drops deletions — the semantics of a fresh iterator
+    over the current version (doc/impl.md)."""
+    return _merge_newest(_scan_entries(path, keep_values=True))
+
+
+class LazyDb:
+    """Index-only open: one streaming pass enumerates keys, but sstable
+    VALUES are not retained — each access re-reads its table with a small
+    per-table scan cache, so resident memory is O(keys + delta log), not
+    O(dataset).  This is what lets multi-GB reference Datum DBs feed
+    training without loading the whole dataset into RAM."""
+
+    _TABLE_CACHE = 4
+
+    def __init__(self, path: str):
+        self._items = _merge_newest(_scan_entries(path, keep_values=False))
+        self._cache: "OrderedDict[str, List[Tuple[bytes, bytes]]]" = \
+            OrderedDict()
+
+    def __len__(self):
+        return len(self._items)
+
+    def key(self, pos: int) -> bytes:
+        return self._items[pos][0]
+
+    def keys(self) -> List[bytes]:
+        return [k for k, _ in self._items]
+
+    def value(self, pos: int) -> bytes:
+        loc = self._items[pos][1]
+        if loc[0] == "m":
+            return loc[1]
+        _, table_path, idx = loc
+        tab = self._cache.get(table_path)
+        if tab is None:
+            tab = read_table(table_path)
+            self._cache[table_path] = tab
+            if len(self._cache) > self._TABLE_CACHE:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(table_path)
+        return tab[idx][1]
+
+
+def _append_log_records(log_path: str, records: List[bytes]):
+    """Continue the 32KB block framing from the current end of the file."""
+    size = os.path.getsize(log_path) if os.path.exists(log_path) else 0
+    with open(log_path, "ab") as f:
+        block_off = size % LOG_BLOCK
+        for rec in records:
+            pos, left = 0, len(rec)
+            begin = True
+            while True:
+                avail = LOG_BLOCK - block_off
+                if avail < 7:
+                    f.write(b"\x00" * avail)
+                    block_off = 0
+                    avail = LOG_BLOCK
+                frag = min(left, avail - 7)
+                end = frag == left
+                t = (_FULL if begin and end else _FIRST if begin
+                     else _LAST if end else _MIDDLE)
+                payload = rec[pos : pos + frag]
+                crc = crc_mask(crc32c(payload, crc32c(bytes([t]))))
+                f.write(struct.pack("<IHB", crc, frag, t) + payload)
+                block_off += 7 + frag
+                pos += frag
+                left -= frag
+                begin = False
+                if end:
+                    break
+
+
+def next_seq(path: str) -> int:
+    """1 + the newest sequence visible in the DB (manifest last_seq plus
+    anything in the replayable logs)."""
+    _, min_log, last_seq = _read_manifest(path)
+    for log_path in _replayable_logs(path, min_log):
+        for rec in read_log(log_path):
+            seq, ops = decode_write_batch(rec)
+            last_seq = max(last_seq, seq + len(ops) - 1)
+    return last_seq + 1
+
+
+def append_db(path: str, ops: List[Tuple[int, bytes, Optional[bytes]]]):
+    """Append one WriteBatch of (type, key, value) ops to the live log of
+    an existing DB — O(delta), the write path real leveldb uses before
+    compaction (a commit no longer rewrites the whole DB)."""
+    live_files, min_log, _ = _read_manifest(path)
+    logs = _replayable_logs(path, min_log)
+    log_path = logs[-1] if logs else os.path.join(path,
+                                                 f"{min_log:06d}.log")
+    _append_log_records(log_path, [encode_write_batch(next_seq(path), ops)])
 
 
 def write_db(path: str, items: Iterable[Tuple[bytes, bytes]],

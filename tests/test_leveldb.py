@@ -310,3 +310,67 @@ def test_convert_imageset_leveldb_backend(tmp_path, capsys):
     d = parse_datum(db.get(b"00000000_im0.png"))
     assert d["label"] == 0
     assert datum_to_array(d).shape == (3, 10, 12)
+
+
+class TestAppendAndLazy:
+    """O(delta) append commits + crash-log recovery + lazy value index
+    (review findings: commits must not rewrite the DB; recovery must
+    replay logs newer than the manifest's log_number; values must not be
+    resident)."""
+
+    def test_append_db_is_delta_and_preserves_table(self, tmp_path):
+        p = str(tmp_path / "db_app")
+        base = [(f"{i:04d}".encode(), b"v" * 100) for i in range(100)]
+        ldb.write_db(p, base, compact=True)
+        table = os.path.join(p, "000005.ldb")
+        before = open(table, "rb").read()
+        for round_ in range(3):
+            ldb.append_db(p, [(ldb.TYPE_VALUE,
+                               f"new{round_}".encode(), b"nv")])
+        assert open(table, "rb").read() == before  # table untouched
+        got = dict(ldb.read_db(p))
+        assert got[b"new0"] == got[b"new2"] == b"nv"
+        assert got[b"0042"] == b"v" * 100
+
+    def test_recovery_replays_newer_logs(self, tmp_path):
+        """A log file with a number above the manifest's log_number (crash
+        before a MANIFEST update) must still be replayed."""
+        p = str(tmp_path / "db_crash")
+        ldb.write_db(p, [(b"a", b"1")], compact=True)  # log_number=6
+        ldb.write_log(os.path.join(p, "000008.log"),
+                      [ldb.encode_write_batch(50, [
+                          (ldb.TYPE_VALUE, b"z", b"late")])])
+        assert dict(ldb.read_db(p))[b"z"] == b"late"
+
+    def test_lazy_db_matches_full_read(self, tmp_path):
+        p = str(tmp_path / "db_lazy")
+        items = [(f"{i:05d}".encode(), (f"val{i}" * 9).encode())
+                 for i in range(300)]
+        ldb.write_db(p, items, compact=True)
+        ldb.append_db(p, [(ldb.TYPE_VALUE, b"00042", b"newer"),
+                          (ldb.TYPE_VALUE, b"extra", b"fromlog")])
+        lazy = ldb.LazyDb(p)
+        full = ldb.read_db(p)
+        assert lazy.keys() == [k for k, _ in full]
+        for pos in (0, 42, 150, len(full) - 1):
+            assert lazy.value(pos) == full[pos][1]
+
+    def test_db_api_append_commits(self, tmp_path):
+        """open_db('w') over an existing LevelDB: repeated transactions
+        append; a fresh handle sees the merged state."""
+        from caffe_rtpose_tpu.utils.db import open_db
+
+        p = str(tmp_path / "db_api")
+        ldb.write_db(p, [(b"base", b"0")], compact=True)
+        db = open_db(p, "w", backend="leveldb")
+        for i in range(3):
+            txn = db.new_transaction()
+            txn.put(f"k{i}".encode(), f"v{i}".encode())
+            txn.commit()
+        assert db.get(b"k1") == b"v1"
+        assert db.get(b"base") == b"0"
+        db.close()
+        db2 = open_db(p, "r", backend="leveldb")
+        assert len(db2) == 4
+        assert db2.get(b"k2") == b"v2"
+        db2.close()
