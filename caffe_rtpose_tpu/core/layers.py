@@ -950,11 +950,19 @@ def build_accuracy(ctx: BuildCtx) -> LayerImpl:
     top_k = int(ap.top_k)
     ignore = ap.ignore_label if ap.has("ignore_label") else None
     flat = _flatten_logits(ctx.bottoms[0])
+    # optional second top: per-class accuracy (accuracy_layer.cpp:38-44)
+    per_class = len(ctx.lv.top) > 1
 
     def apply(p, bots, rng, training, knobs=None):
-        return (op_losses.accuracy(flat(bots[0]), bots[1].reshape(-1), top_k, ignore),)
+        logits, labels = flat(bots[0]), bots[1].reshape(-1)
+        acc = op_losses.accuracy(logits, labels, top_k, ignore)
+        if per_class:
+            return (acc, op_losses.accuracy_per_class(logits, labels,
+                                                      top_k, ignore))
+        return (acc,)
 
-    return _base(ctx, apply, top_nhwc=[False])
+    return _base(ctx, apply, top_nhwc=[False, False] if per_class
+                 else [False])
 
 
 @register("HingeLoss")

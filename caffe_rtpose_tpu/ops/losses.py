@@ -87,6 +87,27 @@ def accuracy(logits2d: jax.Array, labels: jax.Array, top_k: int = 1, ignore_labe
     return jnp.mean(correct.astype(jnp.float32))
 
 
+def accuracy_per_class(logits2d: jax.Array, labels: jax.Array,
+                       top_k: int = 1, ignore_label=None) -> jax.Array:
+    """Per-class accuracy vector (accuracy_layer.cpp:95-101 second top):
+    correct_c / seen_c, 0 for classes never seen."""
+    c = logits2d.shape[-1]
+    if top_k == 1:
+        pred = jnp.argmax(logits2d, axis=-1)
+        correct = pred == labels.astype(pred.dtype)
+    else:
+        _, idx = jax.lax.top_k(logits2d, top_k)
+        correct = jnp.any(idx == labels[:, None].astype(idx.dtype), axis=-1)
+    valid = (labels != ignore_label) if ignore_label is not None \
+        else jnp.ones_like(labels, bool)
+    li = labels.astype(jnp.int32)
+    seen = jnp.zeros((c,), jnp.float32).at[li].add(
+        valid.astype(jnp.float32))
+    hits = jnp.zeros((c,), jnp.float32).at[li].add(
+        jnp.where(valid, correct, False).astype(jnp.float32))
+    return jnp.where(seen == 0, 0.0, hits / jnp.maximum(seen, 1.0))
+
+
 def hinge(logits2d: jax.Array, labels: jax.Array, norm: str = "L1") -> jax.Array:
     n, c = logits2d.shape
     x = logits2d.astype(jnp.float32)

@@ -324,6 +324,12 @@ CASES = {
         ['layer { name: "sp" type: "SPP" bottom: "x" top: "y" '
          'spp_param { pyramid_height: 2 pool: AVE } }'],
         ["y"], {}),
+    "accuracy_per_class": (
+        [("x", RS.randn(8, 4).astype(np.float32)),
+         ("lab", np.array([0., 3., 2., 1., 0., 2., 2., 1.], np.float32))],
+        ['layer { name: "ac" type: "Accuracy" bottom: "x" bottom: "lab" '
+         'top: "y" top: "ypc" }'],
+        ["y", "ypc"], {}),
     "accuracy_topk_ignore": (
         [("x", RS.randn(6, 5).astype(np.float32)),
          ("lab", np.array([0., 3., 2., 1., 4., 2.], np.float32))],
