@@ -312,3 +312,46 @@ layer {{ name: "loss" type: "HingeLoss" bottom: "x" bottom: "lbl"
 """
     run_grad_case(oracle, str(tmp_path), f"g10{norm}", proto,
                   [("x", x), ("lbl", lbl)], grad_blobs=["x"])
+
+
+def test_lstm_grads(oracle, tmp_path):
+    """Backward through the reference's unrolled LSTM net (recurrent_layer
+    Backward over T timesteps, cont flush at t=2) vs jax.grad of our
+    lax.scan — params W_xc/b_c/W_hc and the input-sequence gradient."""
+    x = RS.randn(4, 2, 5).astype(np.float32)
+    cont = np.array([[0, 0], [1, 1], [0, 1], [1, 1]], np.float32)
+    t = RS.randn(4, 2, 3).astype(np.float32)
+    proto = """
+name: "glstm"
+force_backward: true
+input: "x"    input_shape { dim: 4 dim: 2 dim: 5 }
+input: "cont" input_shape { dim: 4 dim: 2 }
+input: "t"    input_shape { dim: 4 dim: 2 dim: 3 }
+layer { name: "lstm" type: "LSTM" bottom: "x" bottom: "cont" top: "h"
+  recurrent_param { num_output: 3 } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "h" bottom: "t"
+  top: "loss" }
+"""
+    run_grad_case(oracle, str(tmp_path), "glstm", proto,
+                  [("x", x), ("cont", cont), ("t", t)],
+                  grad_blobs=["x"], pgrad_layers=["lstm"])
+
+
+def test_rnn_grads(oracle, tmp_path):
+    x = RS.randn(3, 2, 4).astype(np.float32)
+    cont = np.array([[0, 0], [1, 0], [1, 1]], np.float32)
+    t = RS.randn(3, 2, 3).astype(np.float32)
+    proto = """
+name: "grnn"
+force_backward: true
+input: "x"    input_shape { dim: 3 dim: 2 dim: 4 }
+input: "cont" input_shape { dim: 3 dim: 2 }
+input: "t"    input_shape { dim: 3 dim: 2 dim: 3 }
+layer { name: "rnn" type: "RNN" bottom: "x" bottom: "cont" top: "o"
+  recurrent_param { num_output: 3 } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "o" bottom: "t"
+  top: "loss" }
+"""
+    run_grad_case(oracle, str(tmp_path), "grnn", proto,
+                  [("x", x), ("cont", cont), ("t", t)],
+                  grad_blobs=["x"], pgrad_layers=["rnn"])
