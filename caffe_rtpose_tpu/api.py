@@ -566,6 +566,61 @@ class Detector(Net):
         ]
 
 
+# ---- caffe.io blobproto/datum helpers (reference python/caffe/io.py:18-107)
+# operating on the framework's dict-form messages + wire codec (the
+# caffe_pb2 classes work too — same wire bytes)
+
+def blobproto_to_array(blob: dict, return_diff: bool = False) -> np.ndarray:
+    data = np.array(blob.get("diff" if return_diff else "data", []),
+                    dtype=np.float64)
+    if any(k in blob for k in ("num", "channels", "height", "width")):
+        return data.reshape(blob.get("num", 0), blob.get("channels", 0),
+                            blob.get("height", 0), blob.get("width", 0))
+    return data.reshape(blob["shape"]["dim"])
+
+
+def array_to_blobproto(arr: np.ndarray, diff=None) -> dict:
+    blob = {"shape": {"dim": list(arr.shape)},
+            "data": [float(v) for v in np.ravel(arr)]}
+    if diff is not None:
+        blob["diff"] = [float(v) for v in np.ravel(diff)]
+    return blob
+
+
+def arraylist_to_blobprotovector_str(arraylist) -> bytes:
+    from .proto import SCHEMA, wire
+
+    vec = {"blobs": [array_to_blobproto(a) for a in arraylist]}
+    return wire.encode(vec, SCHEMA, "BlobProtoVector")
+
+
+def blobprotovector_str_to_arraylist(s: bytes):
+    from .proto import SCHEMA, wire
+
+    vec = wire.decode(s, SCHEMA, "BlobProtoVector")
+    return [blobproto_to_array(b) for b in vec.get("blobs", [])]
+
+
+def array_to_datum(arr: np.ndarray, label=None) -> dict:
+    if arr.ndim != 3:
+        raise ValueError("Incorrect array shape.")
+    datum = {"channels": arr.shape[0], "height": arr.shape[1],
+             "width": arr.shape[2]}
+    if arr.dtype == np.uint8:
+        datum["data"] = arr.tobytes()
+    else:
+        datum["float_data"] = [float(v) for v in np.ravel(arr)]
+    if label is not None:
+        datum["label"] = int(label)
+    return datum
+
+
+def datum_to_array(datum: dict) -> np.ndarray:
+    from .proto.datum import datum_to_array as _impl
+
+    return _impl(datum)
+
+
 def draw_net_text(net_param: dict) -> str:
     """Text rendering of the DAG (caffe.draw fallback without graphviz)."""
     lines = []

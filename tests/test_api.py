@@ -289,3 +289,51 @@ def test_mode_shims_run():
     caffe.set_mode_gpu()
     caffe.set_device(0)
     caffe.set_mode_cpu()
+
+
+# ---- caffe.io blobproto/datum helpers (reference python/caffe/test/test_io.py)
+
+def test_blobproto_array_roundtrip():
+    rs = np.random.RandomState(3)
+    for shape in [(2, 3, 4), (5,), (1, 2, 3, 4)]:
+        a = rs.randn(*shape)
+        blob = caffe.array_to_blobproto(a)
+        np.testing.assert_allclose(caffe.blobproto_to_array(blob), a)
+    # legacy 4D header form
+    legacy = {"num": 1, "channels": 2, "height": 2, "width": 3,
+              "data": list(range(12))}
+    assert caffe.blobproto_to_array(legacy).shape == (1, 2, 2, 3)
+    # scalar: reference asserts (1,1,1,1) blob round-trips via legacy dims
+    arr = np.ones((1, 1, 1, 1))
+    np.testing.assert_array_equal(
+        caffe.blobproto_to_array(caffe.array_to_blobproto(arr)), arr)
+
+
+def test_blobprotovector_str_roundtrip():
+    rs = np.random.RandomState(4)
+    arrs = [rs.randn(2, 3), rs.randn(4)]
+    s = caffe.arraylist_to_blobprotovector_str(arrs)
+    back = caffe.blobprotovector_str_to_arraylist(s)
+    for a, b in zip(arrs, back):
+        np.testing.assert_allclose(a, b)
+    # the serialized bytes parse through the generated protobuf classes too
+    try:
+        from caffe_rtpose_tpu.proto import caffe_pb2
+    except ImportError:
+        return
+    vec = caffe_pb2.BlobProtoVector()
+    vec.ParseFromString(s)
+    assert len(vec.blobs) == 2 and list(vec.blobs[0].shape.dim) == [2, 3]
+
+
+def test_datum_array_roundtrip():
+    rs = np.random.RandomState(5)
+    u8 = rs.randint(0, 256, (3, 4, 5), np.uint8)
+    d = caffe.array_to_datum(u8, label=7)
+    assert d["label"] == 7 and d["data"] == u8.tobytes()
+    np.testing.assert_array_equal(caffe.datum_to_array(d), u8)
+    f = rs.randn(2, 3, 4).astype(np.float32)
+    d2 = caffe.array_to_datum(f)
+    np.testing.assert_allclose(caffe.datum_to_array(d2), f, rtol=1e-6)
+    with pytest.raises(ValueError):
+        caffe.array_to_datum(np.zeros((2, 2)))
