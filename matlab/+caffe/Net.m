@@ -58,6 +58,18 @@ classdef Net < handle
       data = caffe.private.py2mat(self.pynet.blobs{name}.data);
     end
 
+    function b = blob(self, name)
+      b = caffe.Blob(self.pynet.blobs{name});
+    end
+
+    function l = layer(self, name)
+      names = cellfun(@char, cell(py.getattr(self.pynet, '_layer_names')), ...
+                      'UniformOutput', false);
+      idx = find(strcmp(names, name), 1);
+      assert(~isempty(idx), ['unknown layer ' name]);
+      l = caffe.Layer(self.pynet.layers{int32(idx)});
+    end
+
     function copy_from(self, weights_file)
       self.pynet.copy_from(weights_file);
     end

@@ -79,3 +79,33 @@ class TestMFilesReferenceRealSymbols:
                 src = open(os.path.join(root, f)).read()
                 for mod in pat.findall(src):
                     importlib.import_module(mod)
+
+
+def test_blob_layer_bridge_attributes(tmp_path):
+    """The attributes Blob.m / Layer.m / get_net.m / run_tests.m touch on
+    the Python side must exist and behave (the MATLAB engine would call
+    exactly these)."""
+    import numpy as np
+
+    from caffe_rtpose_tpu import api as caffe
+
+    p = tmp_path / "m.prototxt"
+    p.write_text("""
+name: "m" input: "x" input_shape { dim: 1 dim: 2 dim: 4 dim: 4 }
+layer { name: "c" type: "Convolution" bottom: "x" top: "y"
+  convolution_param { num_output: 3 kernel_size: 3 pad: 1 } }
+""")
+    net = caffe.Net(str(p), caffe.TEST)
+    # Net.m layer(): _layer_names + layers[i].blobs/.type
+    assert net._layer_names == ["c"]
+    lay = net.layers[0]
+    assert lay.type == "Convolution"
+    assert lay.blobs[0].data.shape == (3, 2, 3, 3)
+    # Blob.m: .data/.diff settable ndarrays, .shape tuple
+    b = net.blobs["x"]
+    assert tuple(b.shape) == (1, 2, 4, 4)
+    b.data = np.ones(b.shape, np.float32)
+    b.diff = np.zeros(b.shape, np.float32)
+    # run_tests.m flow: forward through the facade
+    out = net.forward(x=np.random.rand(1, 2, 4, 4).astype(np.float32))
+    assert out["y"].shape == (1, 3, 4, 4)
