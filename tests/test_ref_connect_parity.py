@@ -204,3 +204,4 @@ def test_distance_threshold_peaks_matches_reference(oracle, tmp_path):
                        params)
     got = distance_threshold_peaks(peaks)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
