@@ -415,12 +415,57 @@ class WindowDataLayer(HostDataLayer):
             yield out
 
 
-def _cpm_data_unsupported(lv, phase):
-    raise NotImplementedError(
-        "CPMData (the legacy CPM training LMDB layer) is not a graph layer "
-        "here: build a pose kvdb with `caffe-aux build_pose_db` and train "
-        "via training.pose_db.PoseDbSource + training.labels_device (or "
-        "`caffe train --fused_labels`)")
+class CpmDataLayer(HostDataLayer):
+    """'CPMData' — the companion caffe_train repo's training layer: 6-plane
+    genLMDB Datum records (training/cpm_lmdb.py codec) -> the Transform_nv
+    augmentation chain + PAF/heatmap label generation, so reference CPM
+    training prototxts train unmodified.  CPM knobs come from the fork's
+    merged ``transform_param`` (caffe.proto:430-470); tops are
+    data (N, 3, crop_y, crop_x) and label (N, 2*(num_parts+1), gy, gx)."""
+
+    def __init__(self, lv: caffe_pb.View, phase: str):
+        from ..training.cpm_lmdb import CpmDatumSource
+        from ..training.transformer import AugParams
+
+        p = lv.data_param
+        tp = lv.transform_param
+        self.batch_size = int(p.batch_size)
+        backend = "lmdb" if int(p.backend) == 1 else "auto"
+        self.source = CpmDatumSource(p.source,
+                                     np_in_lmdb=int(tp.np_in_lmdb),
+                                     to_ours=bool(tp.transform_body_joint),
+                                     backend=backend)
+        self.prm = AugParams(
+            stride=int(tp.stride), crop_size_x=int(tp.crop_size_x),
+            crop_size_y=int(tp.crop_size_y),
+            target_dist=float(tp.target_dist),
+            scale_prob=float(tp.scale_prob),
+            scale_min=float(tp.scale_min), scale_max=float(tp.scale_max),
+            max_rotate_degree=float(tp.max_rotate_degree),
+            center_perterb_max=float(tp.center_perterb_max),
+            flip_prob=float(tp.flip_prob), sigma=float(tp.sigma),
+            transform_body_joint=bool(tp.transform_body_joint),
+            np=int(tp.num_parts), do_clahe=bool(tp.do_clahe),
+            clahe_tile_size=int(tp.clahe_tile_size),
+            clahe_clip_limit=int(tp.clahe_clip_limit))
+        self._train = phase == "TRAIN"
+        np_ = self.prm.np
+        gy = self.prm.crop_size_y // self.prm.stride
+        gx = self.prm.crop_size_x // self.prm.stride
+        tops = list(lv.top)
+        shapes = [(self.batch_size, 3, self.prm.crop_size_y,
+                   self.prm.crop_size_x),
+                  (self.batch_size, 2 * (np_ + 1), gy, gx)][: len(tops)]
+        super().__init__(lv.name, tops, shapes)
+
+    def batches(self):
+        from ..training.datasets import pose_batches
+
+        for batch in pose_batches(self.source, self.prm, self.batch_size,
+                                  train=self._train):
+            yield {self.tops[0]: batch["data"],
+                   **({self.tops[1]: batch["label"]}
+                      if len(self.tops) > 1 else {})}
 
 
 _BUILDERS = {
@@ -429,7 +474,7 @@ _BUILDERS = {
     "MemoryData": MemoryDataLayer,
     "HDF5Data": HDF5DataLayer,
     "WindowData": WindowDataLayer,
-    "CPMData": _cpm_data_unsupported,
+    "CPMData": CpmDataLayer,
 }
 
 

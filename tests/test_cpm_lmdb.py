@@ -7,6 +7,7 @@ augmentation/label pipeline identically to natively-constructed Meta
 (VERDICT r1, Next #3 done-criterion).
 """
 
+import os
 import struct
 
 import numpy as np
@@ -199,3 +200,54 @@ def test_capacity_validation():
         encode_cpm_datum(np.zeros((96, 40, 3), np.uint8), Meta(
             people=[Person(joints=np.zeros((17, 2), np.float32),
                            visible=np.zeros(17, np.int32))]))  # too narrow
+
+
+def test_cpmdata_graph_layer_trains(tmp_path):
+    """A caffe_train-style prototxt with a CPMData layer trains unmodified:
+    the layer decodes genLMDB records and runs the Transform_nv chain with
+    the transform_param knobs (no --data flag needed)."""
+    import subprocess
+    import sys
+
+    rng = np.random.RandomState(9)
+    recs = []
+    for i in range(4):
+        meta = _coco_meta(rng, num_other=i % 2, h=100, w=140)
+        img = rng.randint(0, 256, (100, 140, 3), np.uint8)
+        recs.append((img, meta, np.full((100, 140), 255, np.uint8)))
+    db = str(tmp_path / "cpmdb")
+    write_cpm_db(recs, db)
+
+    net = tmp_path / "train.prototxt"
+    net.write_text("""
+name: "cpm_train"
+layer {
+  name: "data" type: "CPMData" top: "data" top: "label"
+  data_param { source: "%s" batch_size: 2 }
+  transform_param {
+    stride: 8 crop_size_x: 112 crop_size_y: 96 target_dist: 0.6
+    scale_prob: 1.0 scale_min: 0.7 scale_max: 1.3 max_rotate_degree: 30
+    center_perterb_max: 20 flip_prob: 0.5 sigma: 7.0
+    num_parts: 56 np_in_lmdb: 17 transform_body_joint: true
+  }
+}
+layer { name: "conv" type: "Convolution" bottom: "data" top: "c"
+  convolution_param { num_output: 8 kernel_size: 3 stride: 8 pad: 1
+    weight_filler { type: "gaussian" std: 0.01 } } }
+layer { name: "score" type: "Convolution" bottom: "c" top: "s"
+  convolution_param { num_output: 114 kernel_size: 1
+    weight_filler { type: "gaussian" std: 0.01 } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "s" bottom: "label"
+  top: "loss" }
+""" % db)
+    solver = tmp_path / "solver.prototxt"
+    solver.write_text(f'net: "{net}"\nbase_lr: 0.0001\nmomentum: 0.9\n'
+                      'lr_policy: "fixed"\nmax_iter: 2\ndisplay: 1\n')
+    r = subprocess.run(
+        [sys.executable, "-m", "caffe_rtpose_tpu.tools.caffe_tool",
+         "train", "--solver", str(solver)],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "Optimization Done" in r.stdout
