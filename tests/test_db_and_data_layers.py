@@ -380,13 +380,37 @@ class TestReviewRegressions:
         outs = {tf(x, rs).tobytes() for _ in range(16)}
         assert len(outs) == 2, "mirror must fire in TEST phase too"
 
-    def test_cpm_data_layer_guidance(self):
+    def test_cpm_data_layer_shapes(self, tmp_path):
+        """CPMData is a real graph data layer now (was a guidance guard):
+        tops get the transform_param-derived static shapes."""
         from caffe_rtpose_tpu.core.net import Net
+        from caffe_rtpose_tpu.training.cpm_lmdb import (
+            RecordInfo, encode_cpm_datum, write_cpm_db)
+        from caffe_rtpose_tpu.training.transformer import Meta, Person
+
+        rng = np.random.RandomState(0)
+        joints = np.stack([rng.uniform(8, 90, 17),
+                           rng.uniform(8, 70, 17)], 1).astype(np.float32)
+        meta = Meta(people=[Person(joints=joints,
+                                   visible=np.ones(17, np.int32),
+                                   objpos=np.array([50, 40], np.float32))],
+                    scale_self=0.8)
+        img = rng.randint(0, 256, (80, 100, 3), np.uint8)
+        db = str(tmp_path / "cpm.kvdb")
+        write_cpm_db([(img, meta, np.full((80, 100), 255, np.uint8))], db)
 
         proto = {"name": "c", "layer": [
-            {"name": "d", "type": "CPMData", "top": ["data", "label"]}]}
-        with pytest.raises(NotImplementedError, match="build_pose_db"):
-            Net(proto, phase="TRAIN")
+            {"name": "d", "type": "CPMData", "top": ["data", "label"],
+             "data_param": {"source": db, "batch_size": 2},
+             "transform_param": {"stride": 8, "crop_size_x": 112,
+                                 "crop_size_y": 96, "num_parts": 56,
+                                 "np_in_lmdb": 17}}]}
+        net = Net(proto, phase="TRAIN")
+        assert net.blob_infos["data"].shape_caffe == (2, 3, 96, 112)
+        assert net.blob_infos["label"].shape_caffe == (2, 114, 12, 14)
+        batch = net.data_layers[0].next_batch()
+        assert batch["data"].shape == (2, 3, 96, 112)
+        assert batch["label"].shape == (2, 114, 12, 14)
 
 
 class TestKvdbCrashSafety:
