@@ -602,17 +602,9 @@ def blobprotovector_str_to_arraylist(s: bytes):
 
 
 def array_to_datum(arr: np.ndarray, label=None) -> dict:
-    if arr.ndim != 3:
-        raise ValueError("Incorrect array shape.")
-    datum = {"channels": arr.shape[0], "height": arr.shape[1],
-             "width": arr.shape[2]}
-    if arr.dtype == np.uint8:
-        datum["data"] = arr.tobytes()
-    else:
-        datum["float_data"] = [float(v) for v in np.ravel(arr)]
-    if label is not None:
-        datum["label"] = int(label)
-    return datum
+    from .proto.datum import array_to_datum as _impl
+
+    return _impl(arr, label)
 
 
 def datum_to_array(datum: dict) -> np.ndarray:

@@ -74,13 +74,17 @@ def sigmoid_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.sum(per) / n
 
 
-def accuracy(logits2d: jax.Array, labels: jax.Array, top_k: int = 1, ignore_label=None) -> jax.Array:
+def _topk_correct(logits2d: jax.Array, labels: jax.Array, top_k: int) -> jax.Array:
+    """Per-row bool: true label within the top-k predictions."""
     if top_k == 1:
         pred = jnp.argmax(logits2d, axis=-1)
-        correct = pred == labels.astype(pred.dtype)
-    else:
-        _, idx = jax.lax.top_k(logits2d, top_k)
-        correct = jnp.any(idx == labels[:, None].astype(idx.dtype), axis=-1)
+        return pred == labels.astype(pred.dtype)
+    _, idx = jax.lax.top_k(logits2d, top_k)
+    return jnp.any(idx == labels[:, None].astype(idx.dtype), axis=-1)
+
+
+def accuracy(logits2d: jax.Array, labels: jax.Array, top_k: int = 1, ignore_label=None) -> jax.Array:
+    correct = _topk_correct(logits2d, labels, top_k)
     if ignore_label is not None:
         valid = labels != ignore_label
         return jnp.sum(jnp.where(valid, correct, False)) / jnp.maximum(jnp.sum(valid), 1)
@@ -92,12 +96,7 @@ def accuracy_per_class(logits2d: jax.Array, labels: jax.Array,
     """Per-class accuracy vector (accuracy_layer.cpp:95-101 second top):
     correct_c / seen_c, 0 for classes never seen."""
     c = logits2d.shape[-1]
-    if top_k == 1:
-        pred = jnp.argmax(logits2d, axis=-1)
-        correct = pred == labels.astype(pred.dtype)
-    else:
-        _, idx = jax.lax.top_k(logits2d, top_k)
-        correct = jnp.any(idx == labels[:, None].astype(idx.dtype), axis=-1)
+    correct = _topk_correct(logits2d, labels, top_k)
     valid = (labels != ignore_label) if ignore_label is not None \
         else jnp.ones_like(labels, bool)
     li = labels.astype(jnp.int32)

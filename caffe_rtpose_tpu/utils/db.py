@@ -354,9 +354,11 @@ class _LevelDbImpl:
         if os.path.exists(os.path.join(path, "CURRENT")):
             self._lazy = ldb.LazyDb(path)
             self._keys = self._lazy.keys()
+            self._seq = ldb.next_seq(path) if writable else 0
         elif writable:
             self._lazy = None
             self._keys = []
+            self._seq = 1
         else:
             raise FileNotFoundError(f"{path}: no LevelDB CURRENT file")
         self.pending: List[Tuple[bytes, bytes]] = []
@@ -398,10 +400,15 @@ class _LevelDbImpl:
             # first commit of a fresh DB: create it, then keep appending
             self._ldb.write_db(self.path, sorted(dict(self.pending).items()))
             self._lazy = self._ldb.LazyDb(self.path)
+            self._seq = self._ldb.next_seq(self.path)
         else:
+            # seq tracked locally: a commit costs one batch append, no
+            # rescan of earlier logs
             self._ldb.append_db(
                 self.path,
-                [(self._ldb.TYPE_VALUE, k, v) for k, v in self.pending])
+                [(self._ldb.TYPE_VALUE, k, v) for k, v in self.pending],
+                seq=self._seq)
+            self._seq += len(self.pending)
         # merge into the in-memory view without reloading values
         self._overlay.update(self.pending)
         merged = sorted(set(self._keys) | set(self._overlay))

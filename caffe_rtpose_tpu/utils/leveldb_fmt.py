@@ -175,37 +175,46 @@ LOG_BLOCK = 32768
 _FULL, _FIRST, _MIDDLE, _LAST = 1, 2, 3, 4
 
 
+def _write_framed(f, records: Iterable[bytes], block_off: int) -> int:
+    """Shared log_writer framing: records fragmented across 32KB blocks,
+    each fragment <masked crc32c(type+data)><len u16><type u8><data>.
+    Returns the block offset after the last write."""
+    for rec in records:
+        pos, left = 0, len(rec)
+        begin = True
+        while True:
+            avail = LOG_BLOCK - block_off
+            if avail < 7:
+                f.write(b"\x00" * avail)
+                block_off = 0
+                avail = LOG_BLOCK
+            frag = min(left, avail - 7)
+            end = frag == left
+            t = (_FULL if begin and end else _FIRST if begin
+                 else _LAST if end else _MIDDLE)
+            payload = rec[pos : pos + frag]
+            crc = crc_mask(crc32c(payload, crc32c(bytes([t]))))
+            f.write(struct.pack("<IHB", crc, frag, t) + payload)
+            block_off += 7 + frag
+            pos += frag
+            left -= frag
+            begin = False
+            if end:
+                break
+    return block_off
+
+
 def write_log(path: str, records: Iterable[bytes]):
-    """leveldb log_writer: records fragmented across 32KB blocks, each
-    fragment <masked crc32c(type+data)><len u16><type u8><data>."""
     with open(path, "wb") as f:
-        block_off = 0
-        for rec in records:
-            pos, left = 0, len(rec)
-            begin = True
-            while True:
-                avail = LOG_BLOCK - block_off
-                if avail < 7:
-                    f.write(b"\x00" * avail)
-                    block_off = 0
-                    avail = LOG_BLOCK
-                frag = min(left, avail - 7)
-                end = frag == left
-                t = (_FULL if begin and end else _FIRST if begin
-                     else _LAST if end else _MIDDLE)
-                payload = rec[pos : pos + frag]
-                crc = crc_mask(crc32c(payload, crc32c(bytes([t]))))
-                f.write(struct.pack("<IHB", crc, frag, t) + payload)
-                block_off += 7 + frag
-                pos += frag
-                left -= frag
-                begin = False
-                if end:
-                    break
+        _write_framed(f, records, 0)
 
 
 def read_log(path: str) -> List[bytes]:
-    """Reassemble records; stops at a zeroed/invalid trailer like leveldb."""
+    """Reassemble records; stops at a zeroed/invalid trailer OR a bad-crc
+    fragment, like leveldb's (non-paranoid) log recovery — a crash can
+    tear the final record mid-write and the tail is dropped, not fatal.
+    (Table blocks keep strict crc checking; a bad block there is real
+    corruption, not an expected crash artifact.)"""
     out: List[bytes] = []
     with open(path, "rb") as f:
         data = f.read()
@@ -224,7 +233,7 @@ def read_log(path: str) -> List[bytes]:
         if len(payload) < ln:
             break
         if crc_unmask(crc) != crc32c(payload, crc32c(bytes([t]))):
-            raise ValueError(f"log record crc mismatch at {off}")
+            break  # torn tail — drop like leveldb log recovery
         off += 7 + ln
         if t == _FULL:
             out.append(bytes(payload))
@@ -468,6 +477,49 @@ def write_table(path: str,
         return f.tell()
 
 
+def _check_block(path, raw: bytes, typ: int, crc: int) -> bytes:
+    if crc_unmask(crc) != crc32c(bytes([typ]), crc32c(raw)):
+        raise ValueError(f"{path}: block crc mismatch")
+    if typ == 0:
+        return raw
+    if typ == 1:
+        return snappy_decompress(raw)
+    raise ValueError(f"{path}: unknown block compression {typ}")
+
+
+def table_block_handles(path: str) -> List[Tuple[int, int]]:
+    """Data-block (offset, size) handles from an sstable's index block,
+    touching only the footer + index region on disk."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 48)
+        footer = f.read(48)
+        if struct.unpack("<Q", footer[-8:])[0] != TABLE_MAGIC:
+            raise ValueError(f"{path}: not an sstable (bad footer magic)")
+        _, _, off = _decode_handle(footer, 0)
+        idx_off, idx_size, _ = _decode_handle(footer, off)
+        f.seek(idx_off)
+        raw = f.read(idx_size)
+        typ = f.read(1)[0]
+        crc = struct.unpack("<I", f.read(4))[0]
+    handles = []
+    for _, h in _decode_block(_check_block(path, raw, typ, crc)):
+        b_off, b_size, _ = _decode_handle(h, 0)
+        handles.append((b_off, b_size))
+    return handles
+
+
+def read_table_block(path: str, offset: int, size: int) -> List[Tuple[bytes, bytes]]:
+    """Decode ONE data block (its (internal_key, value) entries), reading
+    only that byte range — the unit the LazyDb value cache holds."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        raw = f.read(size)
+        typ = f.read(1)[0]
+        crc = struct.unpack("<I", f.read(4))[0]
+    return _decode_block(_check_block(path, raw, typ, crc))
+
+
 def read_table(path: str) -> List[Tuple[bytes, bytes]]:
     """Full ordered scan of an .ldb/.sst: (internal_key, value) pairs."""
     with open(path, "rb") as f:
@@ -538,17 +590,22 @@ def _replayable_logs(path: str, min_log: int) -> List[str]:
 def _scan_entries(path: str, keep_values: bool):
     """Yield (user_key, seq, type, payload) from tables + replayable logs.
     ``payload`` is the value when keep_values, else a locator:
-    ("t", table_path, entry_index) or ("m", value) for log entries."""
+    ("t", table_path, block_off, block_size, entry_index) or ("m", value)
+    for log entries."""
     live_files, min_log, _ = _read_manifest(path)
     entries = []
     for num in live_files:
         for name in (f"{num:06d}.ldb", f"{num:06d}.sst"):
             p = os.path.join(path, name)
             if os.path.exists(p):
-                for i, (ikey, val) in enumerate(read_table(p)):
-                    uk, seq, typ = parse_internal_key(ikey)
-                    entries.append((uk, seq, typ,
-                                    val if keep_values else ("t", p, i)))
+                for b_off, b_size in table_block_handles(p):
+                    for i, (ikey, val) in enumerate(
+                            read_table_block(p, b_off, b_size)):
+                        uk, seq, typ = parse_internal_key(ikey)
+                        entries.append((
+                            uk, seq, typ,
+                            val if keep_values
+                            else ("t", p, b_off, b_size, i)))
                 break
     for log_path in _replayable_logs(path, min_log):
         for rec in read_log(log_path):
@@ -586,16 +643,17 @@ def read_db(path: str) -> List[Tuple[bytes, bytes]]:
 
 class LazyDb:
     """Index-only open: one streaming pass enumerates keys, but sstable
-    VALUES are not retained — each access re-reads its table with a small
-    per-table scan cache, so resident memory is O(keys + delta log), not
-    O(dataset).  This is what lets multi-GB reference Datum DBs feed
-    training without loading the whole dataset into RAM."""
+    VALUES are not retained — each access decodes only its ~4KB data block
+    through a small LRU block cache, so resident memory is
+    O(keys + delta log + cache), not O(dataset).  This is what lets
+    multi-GB Datum DBs (including single-table ones) feed training without
+    loading the whole dataset into RAM."""
 
-    _TABLE_CACHE = 4
+    _BLOCK_CACHE = 64  # blocks (~4KB each uncompressed source data)
 
     def __init__(self, path: str):
         self._items = _merge_newest(_scan_entries(path, keep_values=False))
-        self._cache: "OrderedDict[str, List[Tuple[bytes, bytes]]]" = \
+        self._cache: "OrderedDict[Tuple[str, int], List[Tuple[bytes, bytes]]]" = \
             OrderedDict()
 
     def __len__(self):
@@ -611,45 +669,48 @@ class LazyDb:
         loc = self._items[pos][1]
         if loc[0] == "m":
             return loc[1]
-        _, table_path, idx = loc
-        tab = self._cache.get(table_path)
-        if tab is None:
-            tab = read_table(table_path)
-            self._cache[table_path] = tab
-            if len(self._cache) > self._TABLE_CACHE:
+        _, table_path, b_off, b_size, idx = loc
+        ck = (table_path, b_off)
+        block = self._cache.get(ck)
+        if block is None:
+            block = read_table_block(table_path, b_off, b_size)
+            self._cache[ck] = block
+            if len(self._cache) > self._BLOCK_CACHE:
                 self._cache.popitem(last=False)
         else:
-            self._cache.move_to_end(table_path)
-        return tab[idx][1]
+            self._cache.move_to_end(ck)
+        return block[idx][1]
 
 
-def _append_log_records(log_path: str, records: List[bytes]):
-    """Continue the 32KB block framing from the current end of the file."""
-    size = os.path.getsize(log_path) if os.path.exists(log_path) else 0
-    with open(log_path, "ab") as f:
-        block_off = size % LOG_BLOCK
-        for rec in records:
-            pos, left = 0, len(rec)
-            begin = True
-            while True:
-                avail = LOG_BLOCK - block_off
-                if avail < 7:
-                    f.write(b"\x00" * avail)
-                    block_off = 0
-                    avail = LOG_BLOCK
-                frag = min(left, avail - 7)
-                end = frag == left
-                t = (_FULL if begin and end else _FIRST if begin
-                     else _LAST if end else _MIDDLE)
-                payload = rec[pos : pos + frag]
-                crc = crc_mask(crc32c(payload, crc32c(bytes([t]))))
-                f.write(struct.pack("<IHB", crc, frag, t) + payload)
-                block_off += 7 + frag
-                pos += frag
-                left -= frag
-                begin = False
-                if end:
-                    break
+def _log_valid_end(path: str) -> Tuple[int, bool]:
+    """(byte offset after the last VALID record fragment, tail_clean).
+    A torn tail (crash mid-commit) leaves a partial/bad-crc fragment that
+    must not be appended after — later records would be lost to (or
+    corrupt) recovery."""
+    if not os.path.exists(path):
+        return 0, True
+    with open(path, "rb") as f:
+        data = f.read()
+    n = len(data)
+    off = 0
+    good = 0
+    while off + 7 <= n:
+        if LOG_BLOCK - (off % LOG_BLOCK) < 7:
+            off += LOG_BLOCK - (off % LOG_BLOCK)
+            good = off
+            continue
+        crc, ln, t = struct.unpack_from("<IHB", data, off)
+        if t == 0 and ln == 0 and crc == 0:
+            off += 7
+            good = off
+            continue
+        payload = data[off + 7 : off + 7 + ln]
+        if len(payload) < ln or \
+                crc_unmask(crc) != crc32c(payload, crc32c(bytes([t]))):
+            return good, False
+        off += 7 + ln
+        good = off
+    return good, off >= n  # trailing sub-header bytes are torn too
 
 
 def next_seq(path: str) -> int:
@@ -663,15 +724,27 @@ def next_seq(path: str) -> int:
     return last_seq + 1
 
 
-def append_db(path: str, ops: List[Tuple[int, bytes, Optional[bytes]]]):
+def append_db(path: str, ops: List[Tuple[int, bytes, Optional[bytes]]],
+              seq: Optional[int] = None):
     """Append one WriteBatch of (type, key, value) ops to the live log of
     an existing DB — O(delta), the write path real leveldb uses before
-    compaction (a commit no longer rewrites the whole DB)."""
+    compaction.  If the newest log has a torn tail (crash mid-commit), the
+    batch starts a FRESH higher-numbered log like real recovery, instead
+    of appending unreachable bytes after the tear.  ``seq`` lets a caller
+    that tracks sequences (e.g. _LevelDbImpl) skip the log rescan."""
     live_files, min_log, _ = _read_manifest(path)
     logs = _replayable_logs(path, min_log)
     log_path = logs[-1] if logs else os.path.join(path,
                                                  f"{min_log:06d}.log")
-    _append_log_records(log_path, [encode_write_batch(next_seq(path), ops)])
+    end, clean = _log_valid_end(log_path)
+    if not clean:
+        num = int(os.path.basename(log_path)[:-4]) + 1
+        log_path = os.path.join(path, f"{num:06d}.log")
+        end = 0
+    if seq is None:
+        seq = next_seq(path)
+    with open(log_path, "ab") as f:
+        _write_framed(f, [encode_write_batch(seq, ops)], end % LOG_BLOCK)
 
 
 def write_db(path: str, items: Iterable[Tuple[bytes, bytes]],

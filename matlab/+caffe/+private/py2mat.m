@@ -1,7 +1,10 @@
 function m = py2mat(arr)
-  % numpy N x C x H x W -> matcaffe W x H x C x N
+  % numpy caffe layout -> matcaffe layout: FULL dim reversal for any rank
+  % (matcaffe's raw row-major<->column-major copy, caffe_.cpp), e.g.
+  % N x C x H x W -> W x H x C x N and N x C -> C x N.
   m = single(arr);
-  if ndims(m) == 4
-    m = permute(m, [4 3 2 1]);
+  nd = ndims(m);
+  if nd > 1
+    m = permute(m, nd:-1:1);
   end
 end

@@ -23,7 +23,8 @@ classdef Blob < handle
     end
 
     function set_data(self, data)
-      self.pyblob.data = caffe.private.mat2py(data);
+      nd = double(py.len(self.pyblob.shape));
+      self.pyblob.data = caffe.private.mat2py(data, nd);
     end
 
     function diff = get_diff(self)
@@ -31,7 +32,8 @@ classdef Blob < handle
     end
 
     function set_diff(self, diff)
-      self.pyblob.diff = caffe.private.mat2py(diff);
+      nd = double(py.len(self.pyblob.shape));
+      self.pyblob.diff = caffe.private.mat2py(diff, nd);
     end
   end
 end

@@ -37,7 +37,8 @@ classdef Net < handle
       % input_data: cell array of W x H x C x N arrays, one per input blob
       kw = py.dict();
       for i = 1:numel(self.inputs)
-        kw{self.inputs{i}} = caffe.private.mat2py(input_data{i});
+        nd = double(py.len(self.pynet.blobs{self.inputs{i}}.shape));
+        kw{self.inputs{i}} = caffe.private.mat2py(input_data{i}, nd);
       end
       out = self.pynet.forward_dict(kw);
       res = cell(1, numel(self.outputs));
