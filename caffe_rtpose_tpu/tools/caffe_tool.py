@@ -89,6 +89,17 @@ def make_data_iter(spec: str, net, batch_hint: int = 0) -> Iterator[Dict[str, np
     raise ValueError(f"unsupported data source {spec!r}")
 
 
+def _netstate_kw(args):
+    """--level/--stage (tools/caffe.cpp:39-43): NetState filtering knobs
+    forwarded into Net's FilterNet rules."""
+    kw = {}
+    if getattr(args, "level", 0):
+        kw["level"] = int(args.level)
+    if getattr(args, "stage", ""):
+        kw["stages"] = [s for s in args.stage.split(",") if s]
+    return kw
+
+
 def cmd_train(args) -> int:
     from ..core.net import Net
     from ..proto import caffe_pb, prototxt
@@ -102,7 +113,8 @@ def cmd_train(args) -> int:
         net_param = sp_msg.get("net_param") or sp_msg.get("train_net_param")
     else:
         net_param = net_path
-    net = Net(net_param, phase="TRAIN", seed=int(sp.random_seed) if sp.random_seed > 0 else 0)
+    net = Net(net_param, phase="TRAIN", seed=int(sp.random_seed) if sp.random_seed > 0 else 0,
+              **_netstate_kw(args))
 
     mesh = None
     if getattr(args, "gpu", ""):
@@ -199,7 +211,7 @@ def cmd_train(args) -> int:
 def cmd_test(args) -> int:
     from ..core.net import Net
 
-    net = Net(args.model, phase="TEST")
+    net = Net(args.model, phase="TEST", **_netstate_kw(args))
     if args.weights:
         net.load_weights(args.weights)
     data_iter = make_data_iter(args.data, net)
@@ -218,7 +230,8 @@ def cmd_time(args) -> int:
     from ..core.net import Net
     from ..utils.profiler import print_timing, time_net
 
-    net = Net(args.model, phase="TRAIN" if args.phase == "TRAIN" else "TEST")
+    net = Net(args.model, phase="TRAIN" if args.phase == "TRAIN" else "TEST",
+              **_netstate_kw(args))
     rs = np.random.RandomState(0)
     inputs = {
         name: rs.rand(*net.blob_infos[name].shape_caffe).astype(np.float32)
@@ -273,6 +286,8 @@ def build_parser():
     t.add_argument("--iterations", type=int, default=50)
     t.add_argument("--sigint_effect", default="stop", choices=["stop", "snapshot", "none"])
     t.add_argument("--sighup_effect", default="snapshot", choices=["stop", "snapshot", "none"])
+    t.add_argument("--level", type=int, default=0)
+    t.add_argument("--stage", default="", help="comma-separated NetState stages")
     t.set_defaults(fn=cmd_train)
 
     te = sub.add_parser("test")
@@ -280,6 +295,8 @@ def build_parser():
     te.add_argument("--weights", default="")
     te.add_argument("--data", default="synthetic-pose")
     te.add_argument("--iterations", type=int, default=50)
+    te.add_argument("--level", type=int, default=0)
+    te.add_argument("--stage", default="", help="comma-separated NetState stages")
     te.set_defaults(fn=cmd_test)
 
     ti = sub.add_parser("time")
@@ -287,6 +304,8 @@ def build_parser():
     ti.add_argument("--iterations", type=int, default=10)
     ti.add_argument("--phase", default="TEST", choices=["TRAIN", "TEST"])
     ti.add_argument("--trace_dir", default="", help="write a jax profiler trace here")
+    ti.add_argument("--level", type=int, default=0)
+    ti.add_argument("--stage", default="", help="comma-separated NetState stages")
     ti.set_defaults(fn=cmd_time)
 
     d = sub.add_parser("device_query")

@@ -221,3 +221,23 @@ layer { name: "prob" type: "Softmax" bottom: "pool" top: "prob" }
     assert draw_net.main([str(proto), str(dot), "--rankdir", "TB"]) == 0
     txt = dot.read_text()
     assert "rankdir=TB" in txt and '"conv"' in txt
+
+
+def test_caffe_cli_level_stage_flags(tmp_path, capsys):
+    """--level/--stage (tools/caffe.cpp:39-43) drive NetState filtering."""
+    from caffe_rtpose_tpu.tools.caffe_tool import main
+
+    proto = tmp_path / "staged.prototxt"
+    proto.write_text("""
+name: "staged"
+input: "data" input_shape { dim: 1 dim: 2 dim: 4 dim: 4 }
+layer { name: "always" type: "ReLU" bottom: "data" top: "a" }
+layer { name: "onlyA" type: "Power" bottom: "a" top: "b"
+  power_param { scale: 2.0 } include { stage: "A" } }
+""")
+    assert main(["time", "--model", str(proto), "--iterations", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "onlyA" not in out
+    assert main(["time", "--model", str(proto), "--iterations", "1",
+                 "--stage", "A"]) == 0
+    assert "onlyA" in capsys.readouterr().out
