@@ -341,6 +341,20 @@ CASES = {
         ['layer { name: "ic" type: "Im2col" bottom: "x" top: "y" '
          'convolution_param { kernel_size: 3 stride: 2 pad: 1 } }'],
         ["y"], {}),
+    "bias_two_bottom": (
+        [("x", X4), ("b", RS.randn(3, 7).astype(np.float32))],
+        ['layer { name: "bi" type: "Bias" bottom: "x" bottom: "b" '
+         'top: "y" bias_param { axis: 1 } }'],
+        ["y"], {}),
+    "dummy_data_constant": (
+        [("x", X2)],
+        ['layer { name: "dd" type: "DummyData" top: "y1" '
+         'dummy_data_param { shape { dim: 2 dim: 3 } '
+         'data_filler { type: "constant" value: 2.5 } } }',
+         # silence eats a blob without tops; x must still flow through
+         'layer { name: "sil" type: "Silence" bottom: "y1" }',
+         'layer { name: "id" type: "Power" bottom: "x" top: "y2" }'],
+        ["y2"], {}),
     "lstm_static_expose": (
         [("x", RS.randn(3, 2, 4).astype(np.float32)),
          ("cont", np.array([[1, 1], [1, 0], [1, 1]], np.float32)),
