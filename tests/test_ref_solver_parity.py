@@ -82,6 +82,19 @@ type: "Adam"
 base_lr: 0.01 lr_policy: "fixed" momentum: 0.9 momentum2: 0.999
 delta: 1e-8
 """,
+    "sgd_exp_policy": """
+type: "SGD"
+base_lr: 0.05 lr_policy: "exp" gamma: 0.9 momentum: 0.9
+""",
+    "sgd_multistep": """
+type: "SGD"
+base_lr: 0.05 lr_policy: "multistep" gamma: 0.5 stepvalue: 2 stepvalue: 4
+momentum: 0.9
+""",
+    "sgd_sigmoid_policy": """
+type: "SGD"
+base_lr: 0.05 lr_policy: "sigmoid" gamma: -1.0 stepsize: 3
+""",
 }
 
 ITERS = 5
