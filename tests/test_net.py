@@ -277,3 +277,30 @@ def test_caffenet_builds_and_trains_one_step():
                     net, lambda it: feed)
     solver.step(3)
     assert np.isfinite(solver.smoothed_loss)
+
+
+def test_inplace_after_fanout_superset_semantics():
+    """An in-place layer whose bottom has other consumers is FATAL in the
+    reference (InsertSplits leaves its top colliding -> 'produced by
+    multiple sources', net.cpp AppendTop).  This runtime's functional SSA
+    build gives it well-defined semantics instead: earlier consumers see
+    the pre-in-place value, later ones the post-in-place value.  A
+    documented superset (README divergences)."""
+    import numpy as np
+
+    from caffe_rtpose_tpu.core.net import Net
+
+    proto = """
+name: "ill" input: "x" input_shape { dim: 1 dim: 1 dim: 2 dim: 2 }
+layer { name: "p1" type: "Power" bottom: "x" top: "p1"
+  power_param { scale: 2.0 } }
+layer { name: "e" type: "Eltwise" bottom: "p1" bottom: "x" top: "e" }
+layer { name: "neg" type: "Power" bottom: "p1" top: "p1"
+  power_param { scale: -1.0 } }
+layer { name: "out" type: "AbsVal" bottom: "p1" top: "out" }
+"""
+    net = Net(proto, phase="TEST")
+    x = np.full((1, 1, 2, 2), 3.0, np.float32)
+    o = net.forward({"x": x})
+    np.testing.assert_allclose(o["e"], 9.0)   # pre-in-place p1 (=6) + x
+    np.testing.assert_allclose(o["out"], 6.0)  # |-(2x)|
