@@ -218,3 +218,55 @@ def test_fuzz_net_matches_reference(oracle, tmp_path, seed):
     x = rs.randn(*in_shape).astype(np.float32)
     run_case(oracle, str(tmp_path), f"fuzz{seed}", proto, [("x", x)],
              outs, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(30, 40))
+def test_fuzz_grad_matches_reference(oracle, tmp_path, seed):
+    """Backward sweep: the same random DAGs with an IP+EuclideanLoss head,
+    force_backward — jax.grad vs the reference's net.Backward() on input
+    and conv/IP param gradients."""
+    from tests.test_ref_grad_parity import run_grad_case
+
+    proto, in_shape, outs, shapes = _generate(seed)
+    if not outs:
+        pytest.skip("degenerate draw (no terminal blobs)")
+    N = in_shape[0]
+    head = outs[0]
+    rs = np.random.RandomState(2000 + seed)
+    x = rs.randn(*in_shape).astype(np.float32)
+    t = rs.randn(N, 4).astype(np.float32)
+    full = (proto.replace('name: "fuzz"',
+                          'name: "fuzzg"\nforce_backward: true')
+            + f'\ninput: "t"\ninput_shape {{ dim: {N} dim: 4 }}'
+            + f'\nlayer {{ name: "iph" type: "InnerProduct" '
+              f'bottom: "{head}" top: "iph" '
+              f'inner_product_param {{ num_output: 4 }} }}'
+            + '\nlayer { name: "loss" type: "EuclideanLoss" '
+              'bottom: "iph" bottom: "t" top: "loss" }')
+    # only convs UPSTREAM of the loss head get gradients (other terminal
+    # branches legitimately see zero — force_backward still runs them but
+    # nothing flows INTO them from this loss)
+    produced = {}
+    consumes = {}
+    for ln in proto.splitlines():
+        if not ln.startswith("layer"):
+            continue
+        nm = ln.split('"')[1]
+        tops = [p.split('"')[1] for p in ln.split("top: ")[1:]]
+        bots = [p.split('"')[1] for p in ln.split("bottom: ")[1:]]
+        consumes[nm] = bots
+        for tp in tops:
+            produced[tp] = nm
+    reach = set()
+    frontier = [head]
+    while frontier:
+        blob = frontier.pop()
+        lyr = produced.get(blob)
+        if lyr and lyr not in reach:
+            reach.add(lyr)
+            frontier.extend(consumes[lyr])
+    pgrad = [ln.split('"')[1] for ln in proto.splitlines()
+             if '"Convolution"' in ln and ln.split('"')[1] in reach] + ["iph"]
+    run_grad_case(oracle, str(tmp_path), f"fuzzg{seed}", full,
+                  [("x", x), ("t", t)], grad_blobs=["x"],
+                  pgrad_layers=pgrad, rtol=5e-4, atol=1e-5)
