@@ -52,7 +52,10 @@ def _pool_out(i, k, p, s):
 class _Gen:
     """Random valid net builder.  Tracks (name, shape) of live blobs."""
 
-    def __init__(self, rs):
+    def __init__(self, rs, train_safe=False):
+        # train_safe: no Dropout — in TRAIN phase its mask is drawn from
+        # each implementation's own rng, so activations can never match
+        self.train_safe = train_safe
         self.rs = rs
         self.lines = []
         self.n = 0
@@ -78,9 +81,18 @@ class _Gen:
 
     def step(self):
         rs = self.rs
-        kind = rs.choice(["neuron", "neuron", "conv", "pool", "lrn",
-                          "eltwise", "concat", "slice", "power",
-                          "inplace_chain"])
+        kinds = ["neuron", "neuron", "conv", "pool", "lrn",
+                 "eltwise", "concat", "slice", "power",
+                 "inplace_chain", "scale", "mvn", "dropout"]
+        if self.train_safe:
+            kinds.remove("dropout")
+            # caffe's top_data-dependent backward (TanH/Sigmoid/MVN...)
+            # silently corrupts when ANY later in-place layer overwrites
+            # the shared buffer; the grad sweep tests the math, not
+            # caffe's aliasing hazards (single in-place is covered in
+            # test_ref_grad_parity)
+            kinds.remove("inplace_chain")
+        kind = rs.choice(kinds)
         if kind == "inplace_chain":
             cands = [x for x in self.blobs
                      if x[0] not in self.consumed and x[0] != "x"]
@@ -175,6 +187,24 @@ class _Gen:
                 f'layer {{ name: "{nm}" type: "Concat" bottom: "{b}" '
                 f'bottom: "{b2}" top: "{nm}" }}', nm,
                 (N, C + s2[1], H, W))
+        elif kind == "scale":
+            nm = self.name("sc")
+            self.add(f'layer {{ name: "{nm}" type: "Scale" bottom: "{b}" '
+                     f'top: "{nm}" scale_param {{ axis: 1 bias_term: true '
+                     f'}} }}', nm, (N, C, H, W))
+        elif kind == "mvn":
+            nm = self.name("mv")
+            variant = rs.choice(["", " mvn_param { normalize_variance: "
+                                 "false }", " mvn_param { across_channels:"
+                                 " true }"])
+            self.add(f'layer {{ name: "{nm}" type: "MVN" bottom: "{b}" '
+                     f'top: "{nm}"{variant} }}', nm, (N, C, H, W))
+        elif kind == "dropout":
+            # TEST phase: identity pass-through both sides (phase gate)
+            nm = self.name("dr")
+            self.add(f'layer {{ name: "{nm}" type: "Dropout" '
+                     f'bottom: "{b}" top: "{nm}" dropout_param '
+                     f'{{ dropout_ratio: 0.4 }} }}', nm, (N, C, H, W))
         elif kind == "slice" and C >= 2:
             cut = int(rs.randint(1, C))
             nm = self.name("sl")
@@ -186,9 +216,9 @@ class _Gen:
             self.blobs.append((f"{nm}b", (N, C - cut, H, W)))
 
 
-def _generate(seed):
+def _generate(seed, train_safe=False):
     rs = np.random.RandomState(seed)
-    g = _Gen(rs)
+    g = _Gen(rs, train_safe=train_safe)
     N, C, H, W = 2, int(rs.choice([2, 3, 4])), \
         int(rs.randint(6, 11)), int(rs.randint(6, 11))
     g.blobs.append(("x", (N, C, H, W)))
@@ -227,7 +257,7 @@ def test_fuzz_grad_matches_reference(oracle, tmp_path, seed):
     and conv/IP param gradients."""
     from tests.test_ref_grad_parity import run_grad_case
 
-    proto, in_shape, outs, shapes = _generate(seed)
+    proto, in_shape, outs, shapes = _generate(seed, train_safe=True)
     if not outs:
         pytest.skip("degenerate draw (no terminal blobs)")
     N = in_shape[0]
