@@ -399,10 +399,14 @@ class Solver:
     # --------------------------------------------------- snapshot/restore
 
     def snapshot(self, prefix: Optional[str] = None) -> Tuple[str, str]:
-        """Write .caffemodel + .solverstate (Solver::Snapshot, solver.cpp:412)."""
+        """Write .caffemodel + .solverstate (Solver::Snapshot, solver.cpp:412);
+        ``snapshot_format: HDF5`` writes .caffemodel.h5/.solverstate.h5 like
+        SnapshotSolverStateToHDF5 (sgd_solver.cpp:246-279)."""
         from ..proto import caffemodel as cm
 
         prefix = prefix or self.sp.snapshot_prefix
+        if int(self.sp.snapshot_format) == 0:  # HDF5
+            return self._snapshot_hdf5(prefix)
         model_path = f"{prefix}_iter_{self.it}.caffemodel"
         state_path = f"{prefix}_iter_{self.it}.solverstate"
         self.net.save_caffemodel(model_path)
@@ -422,9 +426,50 @@ class Solver:
         )
         return model_path, state_path
 
+    def _snapshot_hdf5(self, prefix: str) -> Tuple[str, str]:
+        import h5py
+
+        model_path = f"{prefix}_iter_{self.it}.caffemodel.h5"
+        state_path = f"{prefix}_iter_{self.it}.solverstate.h5"
+        self.net.save_hdf5(model_path)
+        with h5py.File(state_path, "w") as f:
+            f["iter"] = np.int64(self.it)
+            f["learned_net"] = model_path
+            f["current_step"] = np.int64(self.current_step)
+            hist = f.create_group("history")
+            i = 0
+            for hkey in sorted(self.history.keys()):
+                for impl in self.net.impls:
+                    if impl.name not in self.history[hkey]:
+                        continue
+                    for pi, h in zip(impl.params,
+                                     self.history[hkey][impl.name]):
+                        arr = np.asarray(pi.export_caffe(
+                            np.asarray(h))).reshape(pi.caffe_shape)
+                        hist[str(i)] = arr.astype(np.float32)
+                        i += 1
+        return model_path, state_path
+
+    def _restore_hdf5(self, state_path: str) -> None:
+        import h5py
+
+        with h5py.File(state_path, "r") as f:
+            self.it = int(np.asarray(f["iter"]))
+            self.current_step = int(np.asarray(f["current_step"]))
+            learned = f["learned_net"][()]
+            if isinstance(learned, bytes):
+                learned = learned.decode()
+            blobs = [np.asarray(f["history"][str(i)])
+                     for i in range(len(f["history"]))]
+        if learned:
+            self.net.load_hdf5(learned)
+        self._load_history_arrays(blobs)
+
     def restore(self, state_path: str) -> None:
         from ..proto import caffemodel as cm
 
+        if state_path.endswith((".h5", ".hdf5")):
+            return self._restore_hdf5(state_path)
         st = cm.load_solver_state(state_path)
         sv = caffe_pb.view(st, "SolverState")
         self.it = int(sv.iter)
@@ -432,6 +477,10 @@ class Solver:
         if sv.has("learned_net"):
             self.net.load_weights(sv.learned_net)
         blobs = [cm.blob_to_array(b) for b in st.get("history", [])]
+        self._load_history_arrays(blobs)
+
+    def _load_history_arrays(self, blobs) -> None:
+        """Rebind flattened history blobs (caffe layout, param order)."""
         i = 0
         new_hist = {}
         for hkey in sorted(self.history.keys()):

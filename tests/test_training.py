@@ -450,3 +450,48 @@ def test_batchnorm_stats_mesh_equals_single_device():
     for a, b in zip(net1.params["bn"], net8.params["bn"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_hdf5_snapshot_restore_roundtrip(tmp_path):
+    """snapshot_format: HDF5 (SnapshotSolverStateToHDF5,
+    sgd_solver.cpp:246-279): .caffemodel.h5/.solverstate.h5 round-trip
+    continues the trajectory identically to never having stopped."""
+    import numpy as np
+
+    from caffe_rtpose_tpu.core.net import Net
+    from caffe_rtpose_tpu.training.solver import Solver
+
+    proto = {
+        "name": "t", "input": ["x", "t"],
+        "input_shape": [{"dim": [2, 3]}, {"dim": [2, 2]}],
+        "layer": [
+            {"name": "ip", "type": "InnerProduct", "bottom": ["x"],
+             "top": ["o"], "inner_product_param": {
+                 "num_output": 2,
+                 "weight_filler": {"type": "gaussian", "std": 0.3}}},
+            {"name": "loss", "type": "EuclideanLoss",
+             "bottom": ["o", "t"], "top": ["loss"]},
+        ],
+    }
+    rs = np.random.RandomState(0)
+    feed = {"x": rs.randn(2, 3).astype(np.float32),
+            "t": rs.randn(2, 2).astype(np.float32)}
+    sp = {"base_lr": 0.05, "momentum": 0.9, "lr_policy": "step",
+          "gamma": 0.5, "stepsize": 2, "max_iter": 8, "display": 0,
+          "snapshot_format": 0,
+          "snapshot_prefix": str(tmp_path / "snap")}
+
+    a = Solver(sp, Net(proto, phase="TRAIN", seed=3), lambda it: feed)
+    a.step(3)
+    model_path, state_path = a.snapshot()
+    assert model_path.endswith(".caffemodel.h5")
+    assert state_path.endswith(".solverstate.h5")
+    a.step(3)
+    ref = np.asarray(a.net.params["ip"][0])
+
+    b = Solver(sp, Net(proto, phase="TRAIN", seed=99), lambda it: feed)
+    b.restore(state_path)
+    assert b.iter == 3
+    b.step(3)
+    np.testing.assert_allclose(np.asarray(b.net.params["ip"][0]), ref,
+                               rtol=1e-6)
