@@ -119,6 +119,16 @@ class Net:
         self.remat = remat
         nv = caffe_pb.view(net_param, "NetParameter")
         self.name = nv.name
+        # NetParameter.state merges UNDER the caller's NetState: caller
+        # stages APPEND to net.state stages (net.cpp constructor add_stage
+        # after the file's state; solver.cpp:99-103 MergeFrom order) and a
+        # nonzero caller level overrides net.state.level.  The phase
+        # argument always wins (net.cpp constructor set_phase).
+        state = net_param.get("state")
+        if state:
+            stages = list(state.get("stage", [])) + list(stages)
+            if not level:
+                level = int(state.get("level", 0))
         phase_i = caffe_pb.PHASE[phase]
 
         # ---- collect graph inputs

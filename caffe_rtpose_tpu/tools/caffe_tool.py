@@ -113,8 +113,16 @@ def cmd_train(args) -> int:
         net_param = sp_msg.get("net_param") or sp_msg.get("train_net_param")
     else:
         net_param = net_path
+    # SolverParameter.train_state merges over the net's own state with the
+    # CLI flags last (solver.cpp:99-103 MergeFrom precedence)
+    kw = _netstate_kw(args)
+    ts = sp_msg.get("train_state")
+    if ts:
+        kw["stages"] = list(ts.get("stage", [])) + list(kw.get("stages", []))
+        if "level" not in kw and ts.get("level"):
+            kw["level"] = int(ts["level"])
     net = Net(net_param, phase="TRAIN", seed=int(sp.random_seed) if sp.random_seed > 0 else 0,
-              **_netstate_kw(args))
+              **kw)
 
     mesh = None
     if getattr(args, "gpu", ""):
@@ -137,8 +145,16 @@ def cmd_train(args) -> int:
     if sp.has("test_interval") and int(sp.test_interval) > 0:
         iters = [int(v) for v in sp.test_iter] or [50]
         sources = list(sp.test_net) or ([net_param] if not sp.has("test_net") else [])
+        test_states = list(sp_msg.get("test_state", []))
         for i, src in enumerate(sources):
-            tnet = Net(src, phase="TEST")
+            tkw = {}
+            if i < len(test_states):
+                tst = test_states[i]
+                if tst.get("stage"):
+                    tkw["stages"] = list(tst["stage"])
+                if tst.get("level"):
+                    tkw["level"] = int(tst["level"])
+            tnet = Net(src, phase="TEST", **tkw)
             ti = iters[min(i, len(iters) - 1)]
             fn = None
             if not tnet.data_layers:

@@ -410,21 +410,26 @@ class Solver:
         model_path = f"{prefix}_iter_{self.it}.caffemodel"
         state_path = f"{prefix}_iter_{self.it}.solverstate"
         self.net.save_caffemodel(model_path)
-        # flatten history into BlobProtos, caffe-layout, in param order
-        blobs = []
-        for hkey in sorted(self.history.keys()):
-            for impl in self.net.impls:
-                if impl.name not in self.history[hkey]:
-                    continue
-                for pi, h in zip(impl.params, self.history[hkey][impl.name]):
-                    arr = np.asarray(pi.export_caffe(np.asarray(h))).reshape(pi.caffe_shape)
-                    blobs.append(cm.array_to_blob(arr))
+        blobs = [cm.array_to_blob(a) for a in self._history_arrays()]
         cm.save_solver_state(
             {"iter": self.it, "learned_net": model_path, "history": blobs,
              "current_step": self.current_step},
             state_path,
         )
         return model_path, state_path
+
+    def _history_arrays(self):
+        """Flatten history to caffe-layout arrays in param order (the
+        order _load_history_arrays rebinds)."""
+        out = []
+        for hkey in sorted(self.history.keys()):
+            for impl in self.net.impls:
+                if impl.name not in self.history[hkey]:
+                    continue
+                for pi, h in zip(impl.params, self.history[hkey][impl.name]):
+                    out.append(np.asarray(pi.export_caffe(
+                        np.asarray(h))).reshape(pi.caffe_shape))
+        return out
 
     def _snapshot_hdf5(self, prefix: str) -> Tuple[str, str]:
         import h5py
@@ -437,17 +442,8 @@ class Solver:
             f["learned_net"] = model_path
             f["current_step"] = np.int64(self.current_step)
             hist = f.create_group("history")
-            i = 0
-            for hkey in sorted(self.history.keys()):
-                for impl in self.net.impls:
-                    if impl.name not in self.history[hkey]:
-                        continue
-                    for pi, h in zip(impl.params,
-                                     self.history[hkey][impl.name]):
-                        arr = np.asarray(pi.export_caffe(
-                            np.asarray(h))).reshape(pi.caffe_shape)
-                        hist[str(i)] = arr.astype(np.float32)
-                        i += 1
+            for i, arr in enumerate(self._history_arrays()):
+                hist[str(i)] = arr.astype(np.float32)
         return model_path, state_path
 
     def _restore_hdf5(self, state_path: str) -> None:

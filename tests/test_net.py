@@ -304,3 +304,29 @@ layer { name: "out" type: "AbsVal" bottom: "p1" top: "out" }
     o = net.forward({"x": x})
     np.testing.assert_allclose(o["e"], 9.0)   # pre-in-place p1 (=6) + x
     np.testing.assert_allclose(o["out"], 6.0)  # |-(2x)|
+
+
+def test_netparameter_state_field_filters():
+    """NetParameter.state supplies default stages/level (net.cpp
+    constructor: file state first, caller stages append, nonzero caller
+    level overrides)."""
+    from caffe_rtpose_tpu.core.net import Net
+
+    proto = """
+name: "st"
+state { stage: "A" level: 1 }
+input: "x" input_shape { dim: 1 dim: 1 dim: 2 dim: 2 }
+layer { name: "a" type: "ReLU" bottom: "x" top: "a"
+  include { stage: "A" } }
+layer { name: "b" type: "ReLU" bottom: "x" top: "b"
+  include { stage: "B" } }
+layer { name: "l1" type: "ReLU" bottom: "x" top: "l1"
+  include { min_level: 1 } }
+layer { name: "l2" type: "ReLU" bottom: "x" top: "l2"
+  include { min_level: 2 } }
+"""
+    net = Net(proto, phase="TEST")
+    assert set(net.blob_infos) == {"x", "a", "l1"}
+    # caller stages append; nonzero caller level overrides
+    net2 = Net(proto, phase="TEST", stages=["B"], level=2)
+    assert set(net2.blob_infos) == {"x", "a", "b", "l1", "l2"}

@@ -241,3 +241,37 @@ layer { name: "onlyA" type: "Power" bottom: "a" top: "b"
     assert main(["time", "--model", str(proto), "--iterations", "1",
                  "--stage", "A"]) == 0
     assert "onlyA" in capsys.readouterr().out
+
+
+def test_solver_train_state_stages(tmp_path, capsys):
+    """SolverParameter.train_state merges over the net's own state
+    (solver.cpp:99-103)."""
+    from caffe_rtpose_tpu.tools.caffe_tool import main
+
+    net = tmp_path / "n.prototxt"
+    net.write_text("""
+name: "st"
+input: "x" input_shape { dim: 2 dim: 3 }
+input: "t" input_shape { dim: 2 dim: 2 }
+layer { name: "base" type: "InnerProduct" bottom: "x" top: "o"
+  inner_product_param { num_output: 2
+    weight_filler { type: "xavier" } } }
+layer { name: "aux" type: "Power" bottom: "o" top: "aux"
+  power_param { scale: 0.0 } include { stage: "trainaux" } }
+layer { name: "auxloss" type: "EuclideanLoss" bottom: "aux" bottom: "t"
+  top: "auxloss" include { stage: "trainaux" } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "o" bottom: "t"
+  top: "loss" }
+""")
+    solver = tmp_path / "s.prototxt"
+    solver.write_text(
+        f'net: "{net}"\ntrain_state {{ stage: "trainaux" }}\n'
+        'base_lr: 0.001\nlr_policy: "fixed"\nmax_iter: 1\ndisplay: 0\n')
+    import numpy as np
+
+    np.savez(tmp_path / "d.npz", x=np.zeros((2, 3), np.float32),
+             t=np.zeros((2, 2), np.float32))
+    assert main(["train", "--solver", str(solver),
+                 "--data", str(tmp_path / "d.npz")]) == 0
+    # without train_state the stage-gated branch would be filtered; with
+    # it the aux loss contributes (total loss includes both heads)
