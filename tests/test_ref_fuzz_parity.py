@@ -251,7 +251,7 @@ def _generate(seed, train_safe=False):
     return proto, (N, C, H, W), outs, shapes
 
 
-@pytest.mark.parametrize("seed", range(24))
+@pytest.mark.parametrize("seed", range(32))
 def test_fuzz_net_matches_reference(oracle, tmp_path, seed):
     from tests.test_ref_layer_zoo import run_case
 
@@ -267,7 +267,7 @@ def test_fuzz_net_matches_reference(oracle, tmp_path, seed):
              outs, rtol=1e-3, atol=3e-5)
 
 
-@pytest.mark.parametrize("seed", range(30, 40))
+@pytest.mark.parametrize("seed", range(40, 54))
 def test_fuzz_grad_matches_reference(oracle, tmp_path, seed):
     """Backward sweep: the same random DAGs with an IP+EuclideanLoss head,
     force_backward — jax.grad vs the reference's net.Backward() on input
