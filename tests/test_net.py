@@ -330,3 +330,27 @@ layer { name: "l2" type: "ReLU" bottom: "x" top: "l2"
     # caller stages append; nonzero caller level overrides
     net2 = Net(proto, phase="TEST", stages=["B"], level=2)
     assert set(net2.blob_infos) == {"x", "a", "b", "l1", "l2"}
+
+
+def test_every_reference_layer_type_registered():
+    """Living completeness guarantee: every REGISTER_LAYER_CLASS/CREATOR
+    name in the mounted reference sources has a builder here."""
+    import glob
+    import re
+
+    ref = "/root/reference/src/caffe"
+    if not os.path.isdir(ref):
+        import pytest
+
+        pytest.skip("reference not mounted")
+    names = set()
+    for path in glob.glob(f"{ref}/**/*.cpp", recursive=True):
+        names.update(re.findall(
+            r"REGISTER_LAYER_(?:CLASS|CREATOR)\((\w+)", open(path).read()))
+    from caffe_rtpose_tpu.core import layers_extra  # noqa: F401
+    from caffe_rtpose_tpu.core.data_layers import DATA_LAYER_TYPES
+    from caffe_rtpose_tpu.core.layers import REGISTRY
+
+    ours = set(REGISTRY) | set(DATA_LAYER_TYPES)
+    assert len(names) >= 60  # the sweep actually found the registry
+    assert names <= ours, f"missing builders: {sorted(names - ours)}"
