@@ -275,3 +275,37 @@ layer { name: "loss" type: "EuclideanLoss" bottom: "o" bottom: "t"
                  "--data", str(tmp_path / "d.npz")]) == 0
     # without train_state the stage-gated branch would be filtered; with
     # it the aux loss contributes (total loss includes both heads)
+
+
+def test_every_reference_cli_flag_accepted():
+    """Living flag-surface guarantee: every DEFINE_* flag in the reference
+    rtpose.cpp / tools/caffe.cpp maps to an option our CLIs accept."""
+    import re
+
+    ref_rt = "/root/reference/examples/rtpose/rtpose.cpp"
+    ref_caffe = "/root/reference/tools/caffe.cpp"
+    if not os.path.exists(ref_rt):
+        pytest.skip("reference not mounted")
+
+    from caffe_rtpose_tpu.tools.caffe_tool import build_parser as caffe_parser
+    from caffe_rtpose_tpu.tools.rtpose import build_parser as rt_parser
+
+    def flags(path):
+        return set(re.findall(r"DEFINE_\w+\(\s*(\w+)", open(path).read()))
+
+    def options(parser):
+        out = set()
+        for a in parser._actions:
+            for s in a.option_strings:
+                out.add(s.lstrip("-"))
+        # subparsers too
+        for a in parser._actions:
+            if hasattr(a, "choices") and isinstance(a.choices, dict):
+                for sub in a.choices.values():
+                    out |= options(sub)
+        return out
+
+    rt_missing = flags(ref_rt) - options(rt_parser())
+    assert not rt_missing, f"rtpose flags missing: {sorted(rt_missing)}"
+    caffe_missing = flags(ref_caffe) - options(caffe_parser())
+    assert not caffe_missing, f"caffe flags missing: {sorted(caffe_missing)}"
