@@ -48,7 +48,8 @@ def _truncated_proto(src_path: str, out_path: str, h: int, w: int) -> None:
     )
 
 
-def _run_case(oracle_bin, proto_src, h, w, tmp, tag):
+def _run_case(oracle_bin, proto_src, h, w, tmp, tag,
+              out_blob="concat_stage7"):
     import jax.numpy as jnp
 
     from caffe_rtpose_tpu.core.net import Net
@@ -72,17 +73,17 @@ def _run_case(oracle_bin, proto_src, h, w, tmp, tag):
     x = rs.rand(1, 3, h, w).astype(np.float32) - 0.5
     raw = os.path.join(tmp, f"{tag}.raw")
     x.tofile(raw)
-    ours = np.asarray(net.forward({"image": x}, outputs=["concat_stage7"])["concat_stage7"])
+    ours = np.asarray(net.forward({"image": x}, outputs=[out_blob])[out_blob])
 
     prefix = os.path.join(tmp, f"{tag}.out")
     r = subprocess.run(
-        [oracle_bin, proto, model, raw, prefix, "concat_stage7"],
+        [oracle_bin, proto, model, raw, prefix, out_blob],
         capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-500:]
     shape = tuple(int(v) for v in r.stdout.split()[1:])
     assert shape == ours.shape
-    ref = np.fromfile(prefix + ".concat_stage7.raw", np.float32).reshape(shape)
+    ref = np.fromfile(prefix + f".{out_blob}.raw", np.float32).reshape(shape)
     # both sides are f32; differences are accumulation-order rounding only
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-6)
 
@@ -96,3 +97,11 @@ def test_coco_concat_stage7_matches_reference_build(oracle, tmp_path):
 def test_mpi_concat_stage7_matches_reference_build(oracle, tmp_path):
     _run_case(oracle, f"{REF}/model/mpi/pose_deploy_linevec.prototxt",
               80, 128, str(tmp_path), "mpi")
+
+
+def test_mpi_realtime_variant_matches_reference_build(oracle, tmp_path):
+    """The 6-stage single-branch realtime variant (different topology:
+    no dual L1/L2 branches, shared conv5_2_CPM feature) — final
+    pre-resize blob parity."""
+    _run_case(oracle, f"{REF}/model/mpi/pose_deploy_realtime.prototxt",
+              80, 112, str(tmp_path), "mpi_rt", out_blob="Mconv7_stage6")
