@@ -182,9 +182,13 @@ def _refine_and_pack(scores, center, yy, xx, in_bounds, valid, counts, max_peaks
     wsum = jnp.sum(scores, axis=-1)
     x_acc = jnp.sum(scores * xx.astype(jnp.float32), axis=-1)
     y_acc = jnp.sum(scores * yy.astype(jnp.float32), axis=-1)
-    safe = jnp.where(wsum > 0, wsum, 1.0)
-    x_ref = x_acc / safe
-    y_ref = y_acc / safe
+    # the reference divides unguarded (nms_layer.cu:97-98): a peak whose 7x7
+    # window is fully truncated by the y-vs-width quirk (y >= W+3, only
+    # possible on tall/portrait maps) gets 0/0 = NaN coords, score intact.
+    # Executed-reference parity (test_ref_gpu_kernel_parity) pins this.
+    # Invalid rows also hit 0/0 here but are masked to 0 by `valid` below.
+    x_ref = x_acc / wsum
+    y_ref = y_acc / wsum
 
     rows = jnp.stack(
         [
