@@ -1032,9 +1032,11 @@ def build_nms(ctx: BuildCtx) -> LayerImpl:
 
     def apply(p, bots, rng, training, knobs=None):
         x = bots[0]  # (1, H, W, C) physical
-        heat = jnp.transpose(x[0], (2, 0, 1))[:num_parts]  # (P, H, W)
+        heat = jnp.transpose(x[0], (2, 0, 1))  # (C, H, W), full channel set
         thr = threshold if not knobs or 'nms_threshold' not in knobs else knobs['nms_threshold']
-        peaks = op_nms.nms_peaks(heat, thr, max_peaks)
+        # full map so refinement reads past a channel's bottom edge land in
+        # channel c+1, exactly as the reference's flat pointer arithmetic
+        peaks = op_nms.nms_peaks(heat, thr, max_peaks, num_parts)
         return (peaks[None],)  # caffe shape (1, P, max_peaks+1, 3)
 
     return _base(ctx, apply, top_nhwc=[False])

@@ -11,10 +11,15 @@ Semantics reproduced from reference src/caffe/cpm/layers/nms_layer.cu:
    7x7 window, counting only samples with score > 0 and with the reference's
    boundary conditions — note the reference checks both x and y offsets
    against *width* and excludes row/column 0 (``(p+d) > 0 && (p+d) < width``,
-   nms_layer.cu:78-94).  We replicate that quirk but additionally clamp reads
-   to the channel's own rows (the reference can read past the channel for
-   peaks within 3 px of the bottom edge — an out-of-bounds bug we do not
-   reproduce);
+   nms_layer.cu:78-94).  For wide maps (W > H) a peak within 3 px of the
+   bottom edge therefore reads past the channel — but the blob is
+   contiguous NCHW, so on hardware the read deterministically lands in
+   channel c+1 at row y-H (the background heatmap for the last part).  When
+   the caller provides the channels beyond ``num_parts`` we replicate that
+   flat-buffer semantics exactly (pinned by test_ref_gpu_kernel_parity
+   against the executed reference kernel); with exactly ``num_parts``
+   channels the out-of-buffer taps are masked out instead (documented
+   divergence, pallas opt-in path only);
 4. output is [num_parts, max_peaks+1, 3]; slot 0 holds the peak count (we cap
    it at max_peaks — the reference stores the uncapped count but then indexes
    out of range when consuming it, rtpose.cpp:841-843).
@@ -110,15 +115,21 @@ def nms_peaks(
     heat: jax.Array,
     threshold,
     max_peaks: int,
+    num_parts: int | None = None,
 ) -> jax.Array:
-    """heat: (C, H, W) part confidence maps -> (C, max_peaks+1, 3) peaks.
+    """heat: (C, H, W) confidence maps -> (num_parts, max_peaks+1, 3) peaks.
 
+    ``num_parts`` (default C) selects the channels NMS runs on
+    (NmsLayer uses only the first num_parts_ of its 57-channel bottom,
+    nms_layer.cu:144); passing the FULL map lets refinement replicate the
+    reference's past-the-channel window reads (see module docstring).
     ``threshold`` may be a traced scalar (the demo retunes it per frame via
     NmsLayer::SetThreshold, rtpose.cpp:1145).
     """
     c, h, w = heat.shape
+    p = c if num_parts is None else int(num_parts)
     heatf = heat.astype(jnp.float32)
-    mask = find_peaks_mask(heatf, threshold)  # (C, H, W)
+    mask = find_peaks_mask(heatf[:p], threshold)  # (P, H, W)
     kb = block_keys(mask, h, w)
     return peaks_from_keys(heatf, kb, max_peaks, ordered=True)
 
@@ -128,6 +139,13 @@ def peaks_from_keys(
 ) -> jax.Array:
     """Compaction + refinement half of the NMS.
 
+    ``heatf`` is (C_all, H, W) with C_all >= P = kb.shape[0]: the first P
+    channels are the peak channels; any extra channels let the refinement
+    replicate the reference's flat-buffer window reads past a channel's
+    bottom edge (nms_layer.cu:82 indexes ``src[(y+dy)*W + x+dx]`` with y+dy
+    bounded by *width*, so wide-map reads land in channel c+1).  Taps past
+    the END of the provided buffer are masked out.
+
     ``ordered=True``: kb comes from :func:`block_keys` (flattened order ==
     position order) and compaction is the sort-free :func:`compact_keys`.
     ``ordered=False``: kb is an arbitrary-arrangement key map (e.g. the 2x2
@@ -135,9 +153,10 @@ def peaks_from_keys(
     whose block order does NOT match position order) — fall back to top_k,
     which sorts by key value.
     """
-    c, h, w = heatf.shape
+    c_all, h, w = heatf.shape
     hw = h * w
-    kb = kb.reshape(c, -1)
+    kb = kb.reshape(kb.shape[0], -1)
+    p = kb.shape[0]
     if ordered:
         peak_pos, valid, counts = compact_keys(kb, hw, max_peaks)
     else:
@@ -148,29 +167,35 @@ def peaks_from_keys(
         peak_pos = jnp.where(valid, hw - kvals, 0)
     topk = peak_pos.shape[1]
 
-    # 7x7 window values gathered from the full-res map
+    # 7x7 window values: one flat gather over the whole (C_all*H*W) buffer,
+    # reproducing the reference's channel-continuation reads
     yy, xx, in_bounds = _window_coords(peak_pos, h, w)
-    yyc = jnp.clip(yy, 0, h - 1)
-    xxc = jnp.clip(xx, 0, w - 1)
-    flat_idx = yyc * w + xxc  # (C, topk, 49)
-    scores = jnp.take_along_axis(heatf.reshape(c, hw), flat_idx.reshape(c, -1), axis=1).reshape(c, topk, 49)
-    center = jnp.take_along_axis(heatf.reshape(c, hw), peak_pos, axis=1)
-    return _refine_and_pack(scores, center, yy, xx, in_bounds, valid, counts, max_peaks)
+    chan = jnp.arange(p, dtype=jnp.int32)[:, None, None]
+    flat_idx = chan * hw + yy * w + xx  # (P, topk, 49); yy may exceed h-1
+    in_buffer = flat_idx < c_all * hw
+    flat = heatf.reshape(-1)
+    scores = jnp.take(flat, jnp.clip(flat_idx, 0, c_all * hw - 1).reshape(-1),
+                      mode="clip").reshape(p, topk, 49)
+    center = jnp.take_along_axis(heatf[:p].reshape(p, hw), peak_pos, axis=1)
+    return _refine_and_pack(
+        scores, center, yy, xx, in_bounds & in_buffer, valid, counts, max_peaks
+    )
 
 
 def _window_coords(peak_pos: jax.Array, h: int, w: int):
     """(C, topk) peak raster positions -> 7x7 window coords + bounds mask.
 
-    Reference bounds quirk kept: both axes checked against *width*, strict
-    > 0 (nms_layer.cu:78-94); we additionally require yy < h so reads stay
-    inside the channel.
+    Reference bounds quirk kept exactly: both axes checked against *width*,
+    strict > 0 (nms_layer.cu:78-94).  yy may exceed h-1 on wide maps — the
+    caller resolves those taps as flat-buffer reads into the next channel,
+    as the reference's pointer arithmetic does.
     """
     offs = np.stack(np.meshgrid(np.arange(-3, 4), np.arange(-3, 4), indexing="ij"), -1).reshape(-1, 2)
     dys = jnp.asarray(offs[:, 0], jnp.int32)  # (49,)
     dxs = jnp.asarray(offs[:, 1], jnp.int32)
     yy = peak_pos[..., None] // w + dys  # (C, topk, 49)
     xx = peak_pos[..., None] % w + dxs
-    in_bounds = (yy > 0) & (yy < w) & (yy < h) & (xx > 0) & (xx < w)
+    in_bounds = (yy > 0) & (yy < w) & (xx > 0) & (xx < w)
     return yy, xx, in_bounds
 
 
@@ -208,7 +233,9 @@ def _refine_and_pack(scores, center, yy, xx, in_bounds, valid, counts, max_peaks
 
 
 def refined_peaks_lowres(
-    parts_low: jax.Array,  # (S, h, w, P) low-res part maps (NHWC)
+    parts_low: jax.Array,  # (S, h, w, >=P) low-res maps (NHWC); channel P
+    # (the next channel after the parts, e.g. background) enables the
+    # reference's past-the-channel window reads — pass P+1 channels
     heat: jax.Array,  # (P, th, tw) the upsampled scale-averaged maps
     threshold,
     max_peaks: int,
@@ -229,7 +256,7 @@ def refined_peaks_lowres(
     """
     from .imresize import axis_weights_dense, scale_pads
 
-    s, h, w, p = parts_low.shape
+    s, h, w, p_all = parts_low.shape
     c, th, tw = heat.shape
     heatf = heat.astype(jnp.float32)
     mask = find_peaks_mask(heatf, threshold)
@@ -239,21 +266,44 @@ def refined_peaks_lowres(
 
     yy, xx, in_bounds = _window_coords(peak_pos, th, tw)
     # 49 = dy-major: yy varies along the dy axis, xx along the dx axis
-    yyc = jnp.clip(yy, 0, th - 1).reshape(c, topk, 7, 7)[:, :, :, 0]  # (C, topk, 7)
+    yyr = yy.reshape(c, topk, 7, 7)[:, :, :, 0]  # (C, topk, 7), unclamped
     xxc = jnp.clip(xx, 0, tw - 1).reshape(c, topk, 7, 7)[:, :, 0, :]  # (C, topk, 7)
     src = parts_low.astype(jnp.float32)
-    planes = jnp.moveaxis(src, -1, 1)[:, :c]  # (S, C, h, w)
+    planes = jnp.moveaxis(src, -1, 1)  # (S, C_all, h, w)
+    # window rows past the channel bottom (yy >= th, wide maps only) read
+    # channel c+1 at row yy-th in the reference's contiguous buffer; we
+    # replicate when the caller provided the extra channel(s)
+    has_next = p_all > c
+    if has_next:
+        assert tw <= 2 * th, (
+            "channel-continuation refinement supports one channel of "
+            "overflow (tw <= 2*th); production maps always satisfy this"
+        )
+        over = yyr >= th
+        y_main = jnp.where(over, th - 1, yyr)
+        y_next = jnp.clip(yyr - th, 0, th - 1)
+    else:
+        y_main = jnp.clip(yyr, 0, th - 1)
+        in_bounds = in_bounds & (yy < th)
 
     win = jnp.zeros((c, topk, 7, 7), jnp.float32)
     for n in range(s):
         padh, padw = scale_pads(h, w, n, start_scale, scale_gap)
-        Yw = axis_weights_dense(yyc.reshape(-1), h, padh, th).reshape(c, topk * 7, h)
+        Yw = axis_weights_dense(y_main.reshape(-1), h, padh, th).reshape(c, topk * 7, h)
         Xw = axis_weights_dense(xxc.reshape(-1), w, padw, tw).reshape(c, topk, 7, w)
         t1 = jnp.einsum(
-            "cmh,chw->cmw", Yw, planes[n],
+            "cmh,chw->cmw", Yw, planes[n, :c],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(c, topk, 7, w)
+        if has_next:
+            Yw_n = axis_weights_dense(y_next.reshape(-1), h, padh, th).reshape(c, topk * 7, h)
+            t1n = jnp.einsum(
+                "cmh,chw->cmw", Yw_n, planes[n, 1 : c + 1],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(c, topk, 7, w)
+            t1 = jnp.where(over[..., None], t1n, t1)
         win = win + jnp.einsum(
             "ckyw,ckxw->ckyx", t1, Xw,
             preferred_element_type=jnp.float32,

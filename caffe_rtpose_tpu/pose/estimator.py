@@ -196,8 +196,11 @@ class PoseEstimator:
                 else:
                     resized = imresize_average(parts_low, th, tw, start_scale, scale_gap)
                     heat = jnp.transpose(resized[0], (2, 0, 1))  # (P, th, tw)
+                    # num_parts+1 channels: the extra (background) channel
+                    # feeds the reference's past-the-channel refinement
+                    # reads for peaks near the bottom edge (ops/nms.py)
                     peaks = refined_peaks_lowres(
-                        parts_low[..., :num_parts], heat, nms_threshold,
+                        low[..., : num_parts + 1], heat, nms_threshold,
                         max_peaks, start_scale, scale_gap)
                 if eff_peaks < max_peaks:
                     # first-K truncation in raster order (reference peak

@@ -39,12 +39,17 @@ def test_estimator_shapes(est):
 def test_fused_path_matches_host_recompute(est):
     rs = np.random.RandomState(1)
     x = rs.rand(1, 3, 80, 128).astype(np.float32) - 0.5
-    # random-weight heatmaps hover near 0; drop thresholds to exercise peaks
-    out = est.run_device(x, nms_threshold=-1.0, inter_threshold=-10.0)
+    # random-weight heatmaps hover near 0; drop thresholds to exercise
+    # peaks.  Threshold 0.0 (not negative): a negative-center peak has an
+    # all-non-positive refinement window, which the reference's score>0
+    # gate + unguarded divide turns into NaN coords (replicated faithfully
+    # by ops/nms.py) — fine for parity, fatal for this test's host loop.
+    out = est.run_device(x, nms_threshold=0.0, inter_threshold=-10.0)
     hm = np.asarray(out["heatmap"])
     peaks_dev = np.asarray(out["peaks"])
-    # host recompute of NMS from the same heatmaps
-    peaks_host = np.asarray(nms_peaks(jnp.asarray(hm[:18]), -1.0, 64))
+    # host recompute of NMS from the same heatmaps (full channel set so the
+    # reference's past-the-channel refinement reads are replicated)
+    peaks_host = np.asarray(nms_peaks(jnp.asarray(hm), 0.0, 64, 18))
     np.testing.assert_allclose(peaks_dev, peaks_host, rtol=1e-4, atol=1e-4)
     assert peaks_dev[:, 0, 0].sum() > 0  # some peaks found
     # host recompute of pair scores

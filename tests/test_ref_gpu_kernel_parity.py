@@ -121,8 +121,8 @@ def _check_nms(oracle, tmp_path, maps, num_parts, max_peaks, threshold):
     ).reshape(num_parts, max_peaks + 1, 3)
 
     ours = np.asarray(
-        jax.jit(nms_peaks, static_argnums=2)(
-            maps[:num_parts], np.float32(threshold), max_peaks
+        jax.jit(nms_peaks, static_argnums=(2, 3))(
+            maps, np.float32(threshold), max_peaks, num_parts
         )
     )
 
@@ -171,6 +171,22 @@ class TestNmsVsExecutedRefGpu:
         maps = _bumpy_heatmap(rs, 8, 48, 80, n_bumps=5)
         for thr in (0.01, 0.2, 0.6):
             _check_nms(gpu_oracle, tmp_path, maps, 8, 12, thr)
+
+    def test_bottom_edge_channel_continuation(self, gpu_oracle, tmp_path):
+        # wide map with peaks within 3 px of the bottom edge: the
+        # reference's refinement window reads past the channel into
+        # channel c+1 (flat pointer arithmetic); ops/nms.py replicates
+        # via the extra channels of the full map
+        rs = np.random.RandomState(5)
+        maps = _bumpy_heatmap(rs, 7, 48, 80, n_bumps=3)
+        yy, xx = np.mgrid[0:48, 0:80].astype(np.float32)
+        for ch in range(7):
+            for cy, cx in ((45.0, 20.0), (46.0, 50.0), (44.5, 70.0)):
+                maps[ch] += 0.9 * np.exp(
+                    -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.8**2)
+                ).astype(np.float32)
+        n = _check_nms(gpu_oracle, tmp_path, maps, 6, 16, 0.05)
+        assert n > 12
 
     def test_fullres_coco_shape(self, gpu_oracle, tmp_path):
         # the production shape: 368x656, 18 parts, max_peaks 64
