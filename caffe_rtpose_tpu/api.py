@@ -135,6 +135,10 @@ class Net:
             phase, weights = weights, None
         if _default_seed is not None and "seed" not in kw:
             kw["seed"] = _next_net_seed()  # caffe.set_random_seed stream
+        # pycaffe's Net ctor forwards level (default 0) into the
+        # Net(file, phase, level) constructor, which unconditionally
+        # overrides a prototxt state.level (net.cpp:44)
+        kw.setdefault("level", 0)
         self._proto, self._phase, self._kw = prototxt, phase, dict(kw)
         self._fetch_all = bool(fetch_all_blobs)
         self._net = _CoreNet(prototxt, phase=phase, **kw)

@@ -84,7 +84,7 @@ class Net:
         input_shapes: Optional[Dict[str, Sequence[int]]] = None,
         overrides: Optional[Dict[str, Dict[str, Any]]] = None,
         stages: Sequence[str] = (),
-        level: int = 0,
+        level: Optional[int] = None,
         dtype=jnp.float32,
         seed: int = 0,
         remat: str = "none",
@@ -121,14 +121,19 @@ class Net:
         self.name = nv.name
         # NetParameter.state merges UNDER the caller's NetState: caller
         # stages APPEND to net.state stages (net.cpp constructor add_stage
-        # after the file's state; solver.cpp:99-103 MergeFrom order) and a
-        # nonzero caller level overrides net.state.level.  The phase
-        # argument always wins (net.cpp constructor set_phase).
+        # after the file's state; solver.cpp:99-103 MergeFrom order).  The
+        # phase argument always wins (net.cpp constructor set_phase).
+        # Level semantics: an EXPLICIT caller level — any int, including 0 —
+        # overrides net.state.level, because the Net(file, phase, level)
+        # constructor unconditionally set_level(level) (net.cpp:44).
+        # level=None models the solver MergeFrom path, deferring to the
+        # file's state.level.
         state = net_param.get("state")
         if state:
             stages = list(state.get("stage", [])) + list(stages)
-            if not level:
+            if level is None:
                 level = int(state.get("level", 0))
+        level = 0 if level is None else int(level)
         phase_i = caffe_pb.PHASE[phase]
 
         # ---- collect graph inputs

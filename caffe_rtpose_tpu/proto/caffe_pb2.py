@@ -21,6 +21,7 @@ works exactly like upstream pycaffe.  Requires ``protoc`` on PATH and the
 
 from __future__ import annotations
 
+import atexit
 import importlib.util
 import os
 import shutil
@@ -51,6 +52,10 @@ def _build_and_load():
     # this schema takes ~100 ms, not worth a shared cache
     digest = schema_digest()
     workdir = tempfile.mkdtemp(prefix="caffe_rtpose_pb2_")
+    # the loaded module keeps no file dependency after exec_module, so the
+    # generated sources can be swept at exit (avoids /tmp litter across
+    # repeated test runs / long-lived services)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     gen_py = os.path.join(workdir, "caffe_rtpose_pb2.py")
     src = os.path.join(workdir, "caffe_rtpose.proto")
     with open(src, "w") as f:

@@ -55,7 +55,9 @@ def upgrade_v0_padding_layers(net: Dict[str, Any]) -> Dict[str, Any]:
             out["layers"][-1]["layer"] = dict(lp)
         for j, blob in enumerate(conn.get("bottom", [])):
             if blob not in last_top:
-                raise ValueError(f"Unknown blob input {blob} to layer {j}")
+                # report the layer's index (reference upgrade_proto.cpp
+                # logs the layer number, not the bottom index)
+                raise ValueError(f"Unknown blob input {blob} to layer {i}")
             top_idx = last_top[blob]
             if top_idx == -1:
                 continue

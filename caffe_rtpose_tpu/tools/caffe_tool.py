@@ -89,11 +89,19 @@ def make_data_iter(spec: str, net, batch_hint: int = 0) -> Iterator[Dict[str, np
     raise ValueError(f"unsupported data source {spec!r}")
 
 
-def _netstate_kw(args):
+def _netstate_kw(args, force_level=True):
     """--level/--stage (tools/caffe.cpp:39-43): NetState filtering knobs
-    forwarded into Net's FilterNet rules."""
+    forwarded into Net's FilterNet rules.
+
+    ``force_level=True`` mirrors the Net(file, phase, level) constructor
+    used by `caffe test`/`time`: the flag's value (default 0) always
+    overrides a prototxt-declared state.level (net.cpp:44 unconditionally
+    set_level).  The train path passes False — solver.cpp:99-103 MergeFrom
+    lets the file's level survive unless train_state/the flag set one."""
     kw = {}
-    if getattr(args, "level", 0):
+    if force_level:
+        kw["level"] = int(getattr(args, "level", 0))
+    elif getattr(args, "level", 0):
         kw["level"] = int(args.level)
     if getattr(args, "stage", ""):
         kw["stages"] = [s for s in args.stage.split(",") if s]
@@ -115,7 +123,7 @@ def cmd_train(args) -> int:
         net_param = net_path
     # SolverParameter.train_state merges over the net's own state with the
     # CLI flags last (solver.cpp:99-103 MergeFrom precedence)
-    kw = _netstate_kw(args)
+    kw = _netstate_kw(args, force_level=False)
     ts = sp_msg.get("train_state")
     if ts:
         kw["stages"] = list(ts.get("stage", [])) + list(kw.get("stages", []))

@@ -587,6 +587,32 @@ def _replayable_logs(path: str, min_log: int) -> List[str]:
     return [os.path.join(path, f"{n:06d}.log") for n in sorted(logs)]
 
 
+def _next_file_number(path: str) -> int:
+    """A file number safe to allocate: max(MANIFEST next_file, every
+    numbered file in the directory) + 1 — preserving the uniqueness
+    invariant real leveldb's VersionSet::NewFileNumber maintains."""
+    hi = 0
+    current = os.path.join(path, "CURRENT")
+    try:
+        with open(current) as f:
+            manifest = f.read().strip()
+        for rec in read_log(os.path.join(path, manifest)):
+            edit = decode_version_edit(rec)
+            nf = edit.get("next_file")
+            if nf:
+                hi = max(hi, int(nf) - 1)
+        m = manifest.rsplit("-", 1)
+        if len(m) == 2 and m[1].isdigit():
+            hi = max(hi, int(m[1]))
+    except OSError:
+        pass
+    for name in os.listdir(path):
+        stem = name.split(".")[0]
+        if stem.isdigit():
+            hi = max(hi, int(stem))
+    return hi + 1
+
+
 def _scan_entries(path: str, keep_values: bool):
     """Yield (user_key, seq, type, payload) from tables + replayable logs.
     ``payload`` is the value when keep_values, else a locator:
@@ -738,7 +764,12 @@ def append_db(path: str, ops: List[Tuple[int, bytes, Optional[bytes]]],
                                                  f"{min_log:06d}.log")
     end, clean = _log_valid_end(log_path)
     if not clean:
-        num = int(os.path.basename(log_path)[:-4]) + 1
+        # fresh-log number must respect LevelDB's file-number-uniqueness
+        # invariant: above the MANIFEST's next_file counter AND every
+        # number already used by a table/log/manifest in the directory
+        # (a bare last_log+1 could collide with an sstable and corrupt
+        # the DB under a later real-leveldb compaction)
+        num = _next_file_number(path)
         log_path = os.path.join(path, f"{num:06d}.log")
         end = 0
     if seq is None:
