@@ -414,6 +414,15 @@ class RtPosePipeline:
                 rows = est.fetch_batch(out)  # one fetch RTT for the batch
                 results = list(zip(frames, rows))  # zip drops padding rows
             for f, (peaks, ps, cnt) in results:
+                if hasattr(est, "overflowed") and est.overflowed(peaks):
+                    # a part exceeded the pair_cap transfer: refetch this
+                    # frame uncapped (logged by the estimator) so the
+                    # default CLI path never silently truncates peaks
+                    peaks, ps, cnt = est.refetch_full(
+                        f.net_input,
+                        nms_threshold=ui.nms_threshold,
+                        inter_threshold=ui.inter_threshold,
+                    )
                 res = C.assemble_fast(peaks, ps, cnt, est.descriptor, pc, scale_xy)
                 f.joints = res.joints
                 f.num_people = res.num_people

@@ -123,7 +123,8 @@ class PoseEstimator:
 
     # ------------------------------------------------------------- device
 
-    def _build_compiled(self):
+    def _build_compiled(self, eff_peaks: Optional[int] = None,
+                        batch: Optional[int] = None):
         """Fused device program.
 
         Optimized pipeline (the default when the graph has the standard
@@ -140,7 +141,9 @@ class PoseEstimator:
         keep_heatmap = self.keep_heatmap
         heatmap_blob = self.heatmap_blob
         num_parts, max_peaks = self.num_parts, self.max_peaks
-        eff_peaks = self.eff_peaks
+        is_default = eff_peaks is None and batch is None
+        eff_peaks = self.eff_peaks if eff_peaks is None else int(eff_peaks)
+        batch = self.batch if batch is None else int(batch)
         use_pallas = self.use_pallas
         pallas_interpret = jax.default_backend() != "tpu"
         start_scale, scale_gap = self.start_scale, self.scale_gap
@@ -204,10 +207,11 @@ class PoseEstimator:
                         max_peaks, start_scale, scale_gap)
                 if eff_peaks < max_peaks:
                     # first-K truncation in raster order (reference peak
-                    # indexing is ordinal, so this is exact for counts <= K)
+                    # indexing is ordinal, so this is exact for counts <= K).
+                    # Slot 0 keeps the RAW count: consumers clamp to the row
+                    # dimension, and the host uses it to DETECT overflow and
+                    # refetch the frame uncapped (no silent truncation).
                     peaks = peaks[:, : eff_peaks + 1]
-                    peaks = peaks.at[:, 0, 0].set(
-                        jnp.minimum(peaks[:, 0, 0], float(eff_peaks)))
                 pair_score, pair_count = C.score_pairs_lowres(
                     low, peaks, desc, (th, tw), start_scale, scale_gap, inter_threshold
                 )
@@ -222,11 +226,12 @@ class PoseEstimator:
                 ])
                 return {"packed": packed}
 
-            self._packed = True
-            if self.batch > 1:
+            if is_default:
+                self._packed = True
+            if batch > 1:
                 fn = jax.vmap(fn, in_axes=(None, 0, None, None))
         else:
-            if self.batch > 1:
+            if batch > 1:
                 raise ValueError("batch > 1 requires the optimized packed path")
             def fn(params, image_phys, nms_threshold, inter_threshold):
                 knobs = {"nms_threshold": nms_threshold}
@@ -240,14 +245,20 @@ class PoseEstimator:
                     out["heatmap"] = hm_chw
                 return out
 
-            self._packed = False
+            if is_default:
+                self._packed = False
 
-        self._raw_fn = fn
+        if is_default:
+            self._raw_fn = fn
         return jax.jit(fn)
 
-    def unpack(self, packed: np.ndarray):
-        """Split the single byte-packed D2H buffer into (peaks, score, count)."""
-        P, M, L = self.num_parts, self.eff_peaks, self.descriptor.num_limbs
+    def unpack(self, packed: np.ndarray, eff: Optional[int] = None):
+        """Split the single byte-packed D2H buffer into (peaks, score, count).
+
+        ``eff``: the peak capacity the producing program was compiled with
+        (defaults to the capped production program; the overflow refetch
+        path passes max_peaks)."""
+        P, M, L = self.num_parts, (eff or self.eff_peaks), self.descriptor.num_limbs
         n_peaks = P * (M + 1) * 3 * 4
         n_score = L * M * M * 2
         buf = packed.tobytes()
@@ -256,7 +267,8 @@ class PoseEstimator:
         count = np.frombuffer(buf, np.uint8, L * M * M, n_peaks + n_score).astype(np.int32).reshape(L, M, M)
         return peaks, score, count
 
-    def run_device(self, net_input: np.ndarray, nms_threshold=None, inter_threshold=None):
+    def run_device(self, net_input: np.ndarray, nms_threshold=None, inter_threshold=None,
+                   _compiled=None):
         """net_input: (S, 3, net_h, net_w) caffe layout -> device outputs."""
         p = self.params_connect
         nms_thr = jnp.float32(p.nms_threshold if nms_threshold is None else nms_threshold)
@@ -266,7 +278,46 @@ class PoseEstimator:
             x = jax.device_put(net_input)
         else:
             x = layout.to_physical(jnp.asarray(net_input)).astype(self.net.dtype)
-        return self._compiled(self.net.params, x, nms_thr, inter_thr)
+        compiled = self._compiled if _compiled is None else _compiled
+        return compiled(self.net.params, x, nms_thr, inter_thr)
+
+    # ---------------------------------------------- pair_cap overflow path
+
+    def _nocap_compiled(self):
+        """Lazily-compiled full-capacity single-frame program (pair_cap
+        off).  Only ever built after the first overflow is seen."""
+        if getattr(self, "_compiled_nocap", None) is None:
+            self._compiled_nocap = self._build_compiled(
+                eff_peaks=self.max_peaks, batch=1)
+        return self._compiled_nocap
+
+    def overflowed(self, peaks: np.ndarray) -> bool:
+        """True when a part produced more peaks than the pair_cap program
+        transferred (slot 0 carries the RAW count; rows stop at eff_peaks).
+        Such a frame must be refetched uncapped — a silent first-K
+        truncation would diverge from the reference for >cap-people
+        scenes."""
+        return (self._packed and self.eff_peaks < self.max_peaks
+                and float(np.max(peaks[:, 0, 0])) > self.eff_peaks)
+
+    def refetch_full(self, net_input: np.ndarray, nms_threshold=None,
+                     inter_threshold=None):
+        """Overflow slow path: rerun ONE frame with the cap disabled and
+        return (peaks, pair_score, pair_count) at full max_peaks.  Logged —
+        capping must never be silent."""
+        import sys
+
+        self._overflow_refetches = getattr(self, "_overflow_refetches", 0) + 1
+        print(
+            f"caffe_rtpose_tpu: pair_cap={self.eff_peaks} overflow -> "
+            f"refetching frame at max_peaks={self.max_peaks} "
+            f"(#{self._overflow_refetches})",
+            file=sys.stderr,
+        )
+        out = self.run_device(net_input, nms_threshold, inter_threshold,
+                              _compiled=self._nocap_compiled())
+        return self.unpack(np.asarray(jax.device_get(out["packed"])),
+                           eff=self.max_peaks)
 
     # --------------------------------------------------------------- host
 
@@ -306,6 +357,10 @@ class PoseEstimator:
         else:
             out = self.run_device(net_input, nms_threshold=nms_threshold, inter_threshold=pc.inter_threshold)
             peaks, pair_score, pair_count = self.fetch(out)
+        if self.overflowed(peaks):
+            peaks, pair_score, pair_count = self.refetch_full(
+                net_input, nms_threshold=nms_threshold,
+                inter_threshold=pc.inter_threshold)
         res = C.assemble_fast(peaks, pair_score, pair_count, self.descriptor, pc, scale_xy)
         hm = np.asarray(jax.device_get(out["heatmap"])) if self.keep_heatmap else None
         return PoseResult(joints=res.joints, num_people=res.num_people, peaks=peaks, heatmap=hm)

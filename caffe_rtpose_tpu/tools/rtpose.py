@@ -53,8 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frame_limit", type=int, default=None,
                    help="(extension) stop after N frames")
     p.add_argument("--pair_cap", type=int, default=32,
-                   help="transfer PAF pair scores for the first K peaks/part "
-                        "(exact for frames with <= K peaks/part; 0 = uncapped)")
+                   help="transfer PAF pair scores for the first K peaks/part; "
+                        "frames where any part exceeds K are detected from "
+                        "the raw counts and automatically refetched uncapped "
+                        "(logged), so results are always exact (0 = uncapped)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="(extension) CNN compute dtype")
     p.add_argument("--no_weights", action="store_true",
