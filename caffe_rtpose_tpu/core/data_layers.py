@@ -434,7 +434,8 @@ class CpmDataLayer(HostDataLayer):
         self.source = CpmDatumSource(p.source,
                                      np_in_lmdb=int(tp.np_in_lmdb),
                                      to_ours=bool(tp.transform_body_joint),
-                                     backend=backend)
+                                     backend=backend,
+                                     np_parts=int(tp.num_parts))
         self.prm = AugParams(
             stride=int(tp.stride), crop_size_x=int(tp.crop_size_x),
             crop_size_y=int(tp.crop_size_y),

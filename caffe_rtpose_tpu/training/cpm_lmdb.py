@@ -251,13 +251,15 @@ class CpmDatumSource:
     """
 
     def __init__(self, path: str, np_in_lmdb: int = 17, mode: int = 5,
-                 to_ours: bool = True, backend: str = "auto"):
+                 to_ours: bool = True, backend: str = "auto",
+                 np_parts: int = 56):
         from ..utils.db import open_db
 
         self.db = open_db(path, "r", backend=backend)
         self.np_in_lmdb = np_in_lmdb
         self.mode = mode
         self.to_ours = to_ours
+        self.np_parts = int(np_parts)
         cur = self.db.new_cursor()
         cur.seek_to_first()
         self._keys = []
@@ -273,14 +275,17 @@ class CpmDatumSource:
         img, mask_miss, _, meta, _ = decode_cpm_datum(
             datum, self.np_in_lmdb, self.mode)
         if self.to_ours:
-            if self.np_in_lmdb != 17:
-                raise NotImplementedError(
-                    "only the COCO 17->18 TransformJoints path is wired "
-                    "(reference np==56 branch, data_transformer.cpp:1025)")
+            # TransformMetaJoints (data_transformer.cpp:709-715): every
+            # person's annotation converts from the stored np_in_lmdb order
+            # to the np_parts training layout (all reference np modes —
+            # MPI 14/27/28/29/43, COCO 33/34/36/37/52/56 — see
+            # training.joints.transform_joints)
+            from .joints import transform_joints
+
             people = []
             for p in meta.people:
-                j18, v18 = transform_joints_coco(p.joints, p.visible)
-                people.append(Person(joints=j18, visible=v18,
+                jt, vt = transform_joints(p.joints, p.visible, self.np_parts)
+                people.append(Person(joints=jt, visible=vt,
                                      objpos=p.objpos))
             meta = Meta(people=people, scale_self=meta.scale_self)
         return img, meta, mask_miss

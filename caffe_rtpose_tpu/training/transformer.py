@@ -256,8 +256,10 @@ def augmentation_flip(img, mask_miss, meta: Meta, prm: AugParams, rng):
 
         _apply_points(meta.people, flip_pts)
         if prm.transform_body_joint:
+            from .joints import swap_left_right
+
             for p in meta.people:
-                swap_left_right_56(p)
+                swap_left_right(p.joints, p.visible, prm.np)
     return img, mask_miss, doflip
 
 
@@ -348,7 +350,24 @@ def put_vec_maps(entry_x: np.ndarray, entry_y: np.ndarray, center_a: np.ndarray,
 
 
 def generate_label_map(meta: Meta, prm: AugParams, mask_miss_grid: Optional[np.ndarray]):
-    """Full label tensor (2*(np+1), grid_y, grid_x) for np=56 / mode 5."""
+    """Full label tensor (2*(np+1), grid_y, grid_x): generateLabelMap
+    (:2117-2305) over the Transform_nv mode-5 mask layout (:1390-1415).
+
+    Three reference branches:
+    - np==56 (COCO PAF training): 19 putVecMaps PAF pairs + 18 part
+      gaussians + background = max(1-max(parts), 0);
+    - np==37 (COCO heatmap-only): 18 part gaussians + 19 limb-interior
+      channels with gaussians at 1/4, 1/2, 3/4 along each limb, background
+      over all 36 upper channels.  The reference's inner person loop
+      shadows the fraction variable ``j`` (:2168-2177) — each OTHER
+      person's gaussian uses their PERSON INDEX * 0.25 as the fraction and
+      is stamped three times (accumulating pre-clamp) — replicated;
+    - default (np==14/27/28/29/33/34/36/43/52/...): one gaussian channel
+      per part from the TransformJoints output; generateLabelMap's
+      hardcoded ``mode = 6`` skips both the background write (:2287) and
+      the clearing of channel 2*np+1 (:2151), so the background channel
+      stays at the blob's initial zeros.
+    """
     np_ = prm.np
     grid_x = prm.crop_size_x // prm.stride
     grid_y = prm.crop_size_y // prm.stride
@@ -359,31 +378,62 @@ def generate_label_map(meta: Meta, prm: AugParams, mask_miss_grid: Optional[np.n
         if mask_miss_grid is not None
         else np.ones((grid_y, grid_x), np.float32)
     )
-    # the reference's 56-entry isVisible vector only carries data for the 18
-    # real parts; resized entries default to 0 (-> weighted)
-    vis56 = np.zeros(np_, np.int32)
-    vis56[:18] = meta.main.visible[:18]
+    # per-part loss weights from the main person's visibility; modes that
+    # fill fewer slots than np (56/37 fill 18) leave the rest at 0 -> weighted
+    vis = np.zeros(np_, np.int32)
+    n_filled = min(np_, len(meta.main.visible))
+    vis[:n_filled] = meta.main.visible[:n_filled]
     for i in range(np_):
-        label[i] = weight if vis56[i] != 3 else 0.0
-    label[np_] = weight  # mode 5 (:1374-1376)
+        label[i] = weight if vis[i] != 3 else 0.0
+    label[np_] = weight  # mode 5 (:1409-1410)
 
-    # part gaussians at channels np+39 .. np+56
-    for i in range(18):
-        for p in meta.people:
-            if p.visible[i] <= 1:
-                put_gaussian_maps(label[np_ + 39 + i], p.joints[i], prm.stride, prm.sigma)
+    if np_ == 56:
+        # part gaussians at channels np+39 .. np+56
+        for i in range(18):
+            for p in meta.people:
+                if p.visible[i] <= 1:
+                    put_gaussian_maps(label[np_ + 39 + i], p.joints[i], prm.stride, prm.sigma)
 
-    # PAFs at channels np+1+2k, np+2+2k
-    for k in range(19):
-        a_id, b_id = MID_1[k] - 1, MID_2[k] - 1
-        for p in meta.people:
-            if p.visible[a_id] <= 1 and p.visible[b_id] <= 1:
-                put_vec_maps(label[np_ + 1 + 2 * k], label[np_ + 2 + 2 * k],
-                             p.joints[a_id], p.joints[b_id], thre=1)
+        # PAFs at channels np+1+2k, np+2+2k
+        for k in range(19):
+            a_id, b_id = MID_1[k] - 1, MID_2[k] - 1
+            for p in meta.people:
+                if p.visible[a_id] <= 1 and p.visible[b_id] <= 1:
+                    put_vec_maps(label[np_ + 1 + 2 * k], label[np_ + 2 + 2 * k],
+                                 p.joints[a_id], p.joints[b_id], thre=1)
 
-    # background channel (:2259-2264)
-    parts = label[np_ + 39 : np_ + 57]
-    label[2 * np_ + 1] = np.maximum(1.0 - parts.max(axis=0), 0.0)
+        # background channel (:2259-2264)
+        parts = label[np_ + 39 : np_ + 57]
+        label[2 * np_ + 1] = np.maximum(1.0 - parts.max(axis=0), 0.0)
+    elif np_ == 37:
+        for i in range(18):
+            for p in meta.people:
+                if p.visible[i] <= 1:
+                    put_gaussian_maps(label[np_ + 1 + i], p.joints[i], prm.stride, prm.sigma)
+        for k in range(19):
+            a_id, b_id = MID_1[k] - 1, MID_2[k] - 1
+            main = meta.main
+            for frac_j in (1, 2, 3):
+                if main.visible[a_id] <= 1 and main.visible[b_id] <= 1:
+                    c = (main.joints[a_id] * np.float32(1 - frac_j * 0.25)
+                         + main.joints[b_id] * np.float32(frac_j * 0.25))
+                    put_gaussian_maps(label[np_ + 19 + k], c, prm.stride, prm.sigma)
+                # reference :2168-2177: the person loop shadows frac_j, so
+                # each other person's center uses their 0-based INDEX as
+                # the quarter-fraction, stamped once per outer iteration
+                for pj, p in enumerate(meta.others):
+                    if p.visible[a_id] <= 1 and p.visible[b_id] <= 1:
+                        c = (p.joints[a_id] * np.float32(1 - pj * 0.25)
+                             + p.joints[b_id] * np.float32(pj * 0.25))
+                        put_gaussian_maps(label[np_ + 19 + k], c, prm.stride, prm.sigma)
+        upper = label[np_ + 1 : 2 * np_ + 1]
+        label[2 * np_ + 1] = np.maximum(1.0 - upper.max(axis=0), 0.0)
+    else:
+        for i in range(np_):
+            for p in meta.people:
+                if i < len(p.visible) and p.visible[i] <= 1:
+                    put_gaussian_maps(label[np_ + 1 + i], p.joints[i], prm.stride, prm.sigma)
+        # mode == 6 hardcoded upstream: background channel left untouched
     return label
 
 

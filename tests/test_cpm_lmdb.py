@@ -161,11 +161,16 @@ def test_cpm_datum_source_over_kvdb(tmp_path):
     assert len(src) == 3
     img, meta, mask = src[1]
     np.testing.assert_array_equal(img, recs[1][0])
-    assert meta.main.joints.shape == (18, 2)  # converted to 'ours' order
+    # converted to the np=56 training layout (first 18 slots are the
+    # 'ours' parts, the rest default-initialized like the reference's
+    # resize(np))
+    assert meta.main.joints.shape == (56, 2)
     raw_d = _derive_vis(recs[1][1], 100, 140)
     j18, v18 = transform_joints_coco(raw_d.main.joints, raw_d.main.visible)
-    np.testing.assert_allclose(meta.main.joints, j18, atol=1e-5)
-    np.testing.assert_array_equal(meta.main.visible, v18)
+    np.testing.assert_allclose(meta.main.joints[:18], j18, atol=1e-5)
+    np.testing.assert_array_equal(meta.main.visible[:18], v18)
+    assert np.all(meta.main.joints[18:] == 0)
+    assert np.all(meta.main.visible[18:] == 0)
 
 
 def test_train_data_spec_cpm_lmdb(tmp_path):

@@ -165,3 +165,122 @@ def _check_transform_case(oracle, tmp_path, seed, clahe):
     assert not np.array_equal(
         data, ((img2.astype(np.float32) - 128) / 256)[..., :112].transpose(
             2, 0, 1)[:, :96, :112])
+
+
+# ---------------------------------------------------------------- np modes
+
+NP_MODE_PROTO = """
+stride: 8
+crop_size_x: 112
+crop_size_y: 96
+target_dist: 0.6
+scale_prob: 1.0
+scale_min: 0.7
+scale_max: 1.3
+max_rotate_degree: 30.0
+center_perterb_max: 20.0
+flip_prob: 1.0
+sigma: 7.0
+num_parts: {np}
+np_in_lmdb: {npl}
+transform_body_joint: true
+mirror: false
+"""
+
+
+def _record_npl(rng, npl, h=120, w=160, num_other=1, with_absent=True):
+    """Synthetic record with npl-joint annotations (16 = MPII, 17 = COCO);
+    some visibility-3 ('absent') entries to exercise the ==3 merge rules."""
+    def _vis():
+        pool = [0, 1, 1, 3] if with_absent else [0, 1]
+        return rng.choice(pool, npl).astype(np.int32)
+
+    def _pts():
+        pts = np.stack([rng.uniform(8, w - 8, npl),
+                        rng.uniform(8, h - 8, npl)], 1).astype(np.float32)
+        return np.round(pts * 64) / 64
+
+    people = [Person(joints=_pts(), visible=_vis(),
+                     objpos=np.array([w / 2, h / 2], np.float32))]
+    for _ in range(num_other):
+        people.append(Person(joints=_pts(), visible=_vis(),
+                             objpos=np.array([w / 3, h / 3], np.float32)))
+    meta = Meta(people=people, scale_self=float(np.float32(0.85)))
+    img = rng.randint(0, 256, (h, w, 3), np.uint8)
+    mask = np.full((h, w), 255, np.uint8)
+    mask[h // 3 : h // 2, w // 4 : w // 2] = 0
+    return img, meta, mask
+
+
+@pytest.mark.parametrize("np_mode,npl,seed,num_other", [
+    # MPI-source modes (MPII 16-joint annotations)
+    (43, 16, 11, 1),   # MPI PAF-era: 15 base + 28 interpolated thirds
+    (43, 16, 55, 2),
+    (14, 16, 9, 1),    # plain MPII permute
+    (27, 16, 70, 1),
+    (28, 16, 71, 1),
+    (29, 16, 75, 1),
+    # COCO-source modes (17 keypoints)
+    (37, 17, 21, 2),   # heatmap-only: 18 parts + 19 limb-interior channels
+    (37, 17, 91, 3),   # 3 other people exercises the shadowed-j quirk
+    (52, 17, 33, 1),   # 18 base + thirds + halves
+    (33, 17, 72, 1),
+    (34, 17, 73, 1),
+])
+def test_transform_nv_np_mode_matches_reference(oracle, tmp_path, np_mode,
+                                                npl, seed, num_other):
+    """VERDICT r2 Missing #2: non-COCO np modes of the CPM transformer —
+    TransformJoints + per-np flip swap + the np==37 generateLabelMap branch
+    and the default (heatmap-per-part) branch, against the EXECUTED
+    reference with an interposed rand() stream.  flip_prob 1.0 forces the
+    per-np swapLeftRight tables into every case."""
+    import dataclasses
+
+    from caffe_rtpose_tpu.training.joints import transform_joints
+
+    rng = np.random.RandomState(seed)
+    img, meta, mask = _record_npl(rng, npl, num_other=num_other)
+    datum = encode_cpm_datum(img, meta, mask_miss=mask, info=RecordInfo(
+        img_height=float(img.shape[0]), img_width=float(img.shape[1])))
+
+    prm = dataclasses.replace(PRM, np=np_mode, flip_prob=1.0)
+    proto_text = NP_MODE_PROTO.format(np=np_mode, npl=npl)
+
+    # ---- reference side
+    tp = tmp_path / "transform.prototxt"
+    tp.write_text(proto_text)
+    dp = tmp_path / "datum.bin"
+    dp.write_bytes(serialize_datum(datum))
+    prefix = str(tmp_path / "ref")
+    r = subprocess.run([oracle, "--transform_nv", str(tp), str(dp),
+                        str(seed), prefix],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    nch = 2 * (np_mode + 1)
+    ref_label = np.fromfile(prefix + ".label.raw", np.float32).reshape(
+        nch, PRM.crop_size_y // 8, PRM.crop_size_x // 8)
+    ref_data = np.fromfile(prefix + ".data.raw", np.float32).reshape(
+        3, PRM.crop_size_y, PRM.crop_size_x)
+
+    # ---- our side
+    img2, mask2, _, meta2, _ = decode_cpm_datum(datum, np_in_lmdb=npl)
+    people = [Person(*transform_joints(p.joints, p.visible, np_mode),
+                     objpos=p.objpos) for p in meta2.people]
+    m = Meta(people=people, scale_self=meta2.scale_self)
+    data, label, aug = transform(img2, m, prm, rng=LcgRand(seed),
+                                 mask_miss=mask2, train=True)
+
+    assert label.shape == ref_label.shape
+    np.testing.assert_allclose(label[np_mode + 1 :], ref_label[np_mode + 1 :],
+                               atol=1e-6, err_msg=f"np={np_mode} labels")
+    # weight channels ride the u8 mask warp: OpenCV 4.6 (oracle, system
+    # C++) vs cv2 5.0 (wheel) differ by a few u8 levels of fixed-point
+    # interpolation on a sparse set of edge pixels (see the np=56 case
+    # above) — calibrated to 4 u8 levels on <2% of pixels
+    w_diff = np.abs(label[: np_mode + 1] - ref_label[: np_mode + 1])
+    assert w_diff.max() <= 4.5 / 255, f"np={np_mode} weights {w_diff.max()}"
+    assert (w_diff > 1e-6).mean() < 0.02, f"np={np_mode} widespread w diff"
+    d_u8 = np.abs(data - ref_data) * 256
+    assert d_u8.max() <= 8, f"np={np_mode}: data diff {d_u8.max()} u8"
+    # the mode actually produced label content
+    assert ref_label[np_mode + 1 :].max() > 0.5
