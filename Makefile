@@ -9,7 +9,16 @@ CXXFLAGS ?= -O2 -shared -fPIC -std=c++17
 NATIVE_SRCS := $(wildcard native/*.cpp)
 NATIVE_LIBS := $(patsubst native/%.cpp,native/lib%.so,$(NATIVE_SRCS))
 
-.PHONY: all native test runtest pytest bench lint clean
+.PHONY: all native test runtest pytest bench lint clean fetch-models
+
+# Released CPM weights (reference model/getModels.sh:3 URLs).  Retries
+# harder than install.sh; tests/test_real_weights_smoke.py activates
+# automatically once the files exist.
+MODEL_HOST := http://posefs1.perception.cs.cmu.edu/Results/RTPose
+fetch-models:
+	mkdir -p model/coco model/mpi
+	curl -fSL --retry 5 --retry-delay 3 -o model/coco/pose_iter_440000.caffemodel $(MODEL_HOST)/pose_iter_440000.caffemodel
+	curl -fSL --retry 5 --retry-delay 3 -o model/mpi/pose_iter_160000.caffemodel $(MODEL_HOST)/pose_iter_160000.caffemodel
 
 all: native
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..pose import connect as C
 from ..pose.estimator import PoseEstimator
-from ..pose.preprocess import make_net_input, make_net_input_u8, warp_to_display
+from ..pose.preprocess import warp_to_display
 from .queues import BlockingQueue, OrderedBuffer
 
 try:
@@ -91,6 +91,11 @@ class PipelineConfig:
     fetchers: int = 4
     queue_depth: int = 8
     dispatchers: int = 1  # upload/dispatch threads (overlap H2D with dispatch)
+    # extension: bound the batch-fill wait — once a batch has at least one
+    # frame, dispatch it after this many ms even if not full (padded), so
+    # batching never adds more than this to per-frame latency when the
+    # input runs slower than batch_size/frame_interval
+    batch_wait_ms: Optional[float] = None
 
 
 @dataclass
@@ -282,6 +287,7 @@ class RtPosePipeline:
         self.quit = threading.Event()
         self.stats: List[Dict[str, float]] = []
         self.processed = 0
+        self.dropped = 0  # frames discarded by the 0.1 s drop policy
         # optional injected source of (frame_number, bgr, path) tuples —
         # used by bench.py to feed synthetic frames through the production
         # pipeline (preprocess included) without video IO
@@ -320,11 +326,10 @@ class RtPosePipeline:
             if cfg.frame_limit is not None and count >= cfg.frame_limit:
                 break
             display, scale = warp_to_display(img, dw, dh)
-            make = make_net_input_u8 if self.est.input_u8 else make_net_input
-            net_in = make(
-                display, cfg.net_resolution[0], cfg.net_resolution[1],
-                cfg.num_scales, cfg.start_scale, cfg.scale_gap,
-            )
+            # transfer format is the estimator's choice (f32 canvases, u8
+            # canvases, or the scale-sublinear packed u8 buffer); its
+            # scale config matches cfg by construction (tools/rtpose.py)
+            net_in = self.est.make_input(display)
             count += 1
             f = Frame(
                 index=count, video_frame_number=vfn, scale=scale,
@@ -346,17 +351,26 @@ class RtPosePipeline:
         """
         cfg = self.cfg
         B = max(1, getattr(self.est, "batch", 1))
+        wait_s = (cfg.batch_wait_ms / 1e3
+                  if cfg.batch_wait_ms is not None else None)
         while True:
             batch: List[Frame] = []
             done = False
             while len(batch) < B:
-                f = input_q.get()
+                if batch and wait_s is not None:
+                    try:
+                        f = input_q.get(timeout=wait_s)
+                    except queue.Empty:
+                        break  # dispatch the partial batch now
+                else:
+                    f = input_q.get()
                 if f is None:
                     done = True
                     break
                 # drop policy (rtpose.cpp:1112-1124)
                 if not cfg.no_frame_drops and time.time() - f.commit_time > 0.1:
                     reorder.push_dropped(f.index)
+                    self.dropped += 1
                     continue
                 batch.append(f)
             if batch:
@@ -538,6 +552,7 @@ class RtPosePipeline:
             "gpu_and_assemble": f.gpu_fetched_time - f.preprocessed_time,
             "buffered": f.buffered_time - f.postprocessed_time,
             "output": f.displayed_time - f.buffered_time,
+            "e2e": f.displayed_time - f.commit_time,
         })
         if self.processed % 30 == 0:
             self._report()
@@ -613,7 +628,7 @@ class RtPosePipeline:
     def _report(self):
         window = self.stats[-30:]
         avg = {k: float(np.mean([s[k] for s in window])) for k in window[0]}
-        total = sum(avg.values())
+        total = avg.pop("e2e", sum(avg.values()))
         fps = 30.0 / max(sum(s["gpu_and_assemble"] for s in window), 1e-9)
         print(
             f"Frames processed {self.processed} | "
@@ -629,13 +644,10 @@ class RtPosePipeline:
         # reference's warmup() dry-run Forward (rtpose.cpp:233-236) —
         # otherwise the first compile trips the 0.1 s drop policy
         B = max(1, getattr(self.est, "batch", 1))
-        shape = ((cfg.num_scales, cfg.net_resolution[1], cfg.net_resolution[0], 3)
-                 if self.est.input_u8
-                 else (cfg.num_scales, 3, cfg.net_resolution[1], cfg.net_resolution[0]))
+        shape = self.est.input_shape()
         if B > 1:
             shape = (B,) + shape
-        dummy = (np.zeros(shape, np.uint8) if self.est.input_u8
-                 else np.zeros(shape, np.float32))
+        dummy = np.zeros(shape, self.est.input_dtype)
         fetch1 = self.est.fetch_batch if B > 1 else self.est.fetch
         if cfg.num_devices > 1:
             for i in range(cfg.num_devices):

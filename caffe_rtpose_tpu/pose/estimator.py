@@ -59,6 +59,7 @@ class PoseEstimator:
         pair_cap: Optional[int] = None,
         batch: int = 1,
         use_pallas: Optional[bool] = None,
+        pack_u8: Optional[bool] = None,
     ):
         """``pair_cap``: transfer pair scores only for the first K peaks per
         part (raster order — identical to the reference for frames with
@@ -77,6 +78,13 @@ class PoseEstimator:
         self.scale_gap = scale_gap
         self.keep_heatmap = keep_heatmap
         self.input_u8 = input_u8 and not keep_heatmap
+        # scale-sublinear upload: ship only each scale's live region and
+        # rebuild the padded canvases on device (bit-identical; default on
+        # for multi-scale u8, where the padding bytes are ~43% of the
+        # reference 3-scale payload on the H2D link)
+        if pack_u8 is None:
+            pack_u8 = self.input_u8 and num_scales > 1
+        self.pack_u8 = bool(pack_u8) and self.input_u8
         self.batch = int(batch)
         self._pair_cap = pair_cap
         if use_pallas is None:
@@ -167,7 +175,8 @@ class PoseEstimator:
                 tw = int(rv.imresize_param.target_spatial_width)
             lowres_blob = self.lowres_blob
 
-            if input_u8:
+            pack_u8 = self.pack_u8
+            if input_u8 and not pack_u8:
                 from .preprocess import region_boxes
 
                 mask = np.zeros((num_scales, net_h, net_w, 1), np.float32)
@@ -175,9 +184,27 @@ class PoseEstimator:
                     region_boxes(net_w, net_h, num_scales, start_scale, scale_gap)
                 ):
                     mask[i, y0:y1, x0:x1] = 1.0
+            if pack_u8:
+                from .preprocess import packed_regions
+
+                pack_regs, _ = packed_regions(
+                    net_w, net_h, num_scales, start_scale, scale_gap)
 
             def fn(params, image_phys, nms_threshold, inter_threshold):
-                if input_u8:
+                if pack_u8:
+                    # flat live-region buffer -> normalized padded canvases:
+                    # u8/256 - 0.5 inside the region, 0 padding — identical
+                    # to process_and_pad_image (rtpose.cpp:258-263) on the
+                    # full canvas, at ~57% of the 3-scale upload bytes
+                    canvases = []
+                    for rh, rw, padh, padw, off in pack_regs:
+                        seg = image_phys[off : off + rh * rw * 3]
+                        xf = seg.astype(jnp.float32).reshape(rh, rw, 3) / 256.0 - 0.5
+                        canvases.append(jnp.pad(
+                            xf, ((padh, net_h - padh - rh),
+                                 (padw, net_w - padw - rw), (0, 0))))
+                    image_phys = jnp.stack(canvases).astype(net.dtype)
+                elif input_u8:
                     # exact process_and_pad_image normalize: u8/256 - 0.5 in
                     # the image region, 0 in the padding (rtpose.cpp:258-263)
                     xf = image_phys.astype(jnp.float32) / 256.0 - 0.5
@@ -321,6 +348,32 @@ class PoseEstimator:
 
     # --------------------------------------------------------------- host
 
+    def input_shape(self) -> Tuple[int, ...]:
+        """Host-side transfer shape for ONE frame (no batch axis)."""
+        if self.pack_u8:
+            from .preprocess import packed_regions
+
+            _, total = packed_regions(self.net_w, self.net_h, self.num_scales,
+                                      self.start_scale, self.scale_gap)
+            return (total,)
+        if self.input_u8:
+            return (self.num_scales, self.net_h, self.net_w, 3)
+        return (self.num_scales, 3, self.net_h, self.net_w)
+
+    @property
+    def input_dtype(self):
+        return np.uint8 if self.input_u8 else np.float32
+
+    def make_input(self, display_bgr: np.ndarray) -> np.ndarray:
+        """Display-res BGR frame -> this estimator's transfer format."""
+        from .preprocess import (make_net_input, make_net_input_u8,
+                                 make_net_input_u8_packed)
+
+        make = (make_net_input_u8_packed if self.pack_u8
+                else make_net_input_u8 if self.input_u8 else make_net_input)
+        return make(display_bgr, self.net_w, self.net_h, self.num_scales,
+                    self.start_scale, self.scale_gap)
+
     def fetch(self, out) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Device outputs -> host (peaks, pair_score, pair_count)."""
         if self._packed:
@@ -378,7 +431,7 @@ class PoseEstimator:
             frame_bgr, self.net_w, self.net_h,
             disp_w=disp_w, disp_h=disp_h,
             num_scales=self.num_scales, start_scale=self.start_scale, scale_gap=self.scale_gap,
-            u8=self.input_u8,
+            u8="packed" if self.pack_u8 else self.input_u8,
         )
         dw = disp_w if disp_w is not None else pf.display.shape[1]
         dh = disp_h if disp_h is not None else pf.display.shape[0]

@@ -127,6 +127,48 @@ def make_net_input_u8(
     return out
 
 
+def packed_regions(net_w: int, net_h: int, num_scales: int,
+                   start_scale: float, scale_gap: float):
+    """Layout of the scale-sublinear u8 transfer buffer: per scale
+    (th, tw, padh, padw, byte_offset), plus the total byte count.
+
+    Scale n's live region is only (tw_n, th_n) inside the padded canvas
+    (padw = (net_w - tw)//2, imresize_layer.cu:110-140 pad math); shipping
+    the padding bytes over the host->device link is pure waste, so the
+    packed format concatenates just the live regions."""
+    regs = []
+    off = 0
+    for i in range(num_scales):
+        tw, th = scale_dims(net_w, net_h, start_scale - i * scale_gap)
+        regs.append((th, tw, (net_h - th) // 2, (net_w - tw) // 2, off))
+        off += th * tw * 3
+    return regs, off
+
+
+def make_net_input_u8_packed(
+    img_bgr: np.ndarray,
+    net_w: int,
+    net_h: int,
+    num_scales: int = 1,
+    start_scale: float = 1.0,
+    scale_gap: float = 0.3,
+) -> np.ndarray:
+    """Scale-sublinear u8 transfer format: one flat (total_bytes,) buffer of
+    concatenated per-scale live regions (no padding bytes).  The device
+    program normalizes and zero-pads each region back into its
+    (net_h, net_w) canvas — bit-identical to make_net_input_u8 + the
+    on-device mask normalize, at ~57% of the upload bytes for the
+    reference 3-scale config."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV unavailable")
+    regs, total = packed_regions(net_w, net_h, num_scales, start_scale, scale_gap)
+    out = np.empty(total, np.uint8)
+    for th, tw, _, _, off in regs:
+        resized = cv2.resize(img_bgr, (tw, th), interpolation=cv2.INTER_AREA)
+        out[off : off + th * tw * 3] = resized.reshape(-1)
+    return out
+
+
 @dataclass
 class PreprocessedFrame:
     net_input: np.ndarray  # (S, 3, net_h, net_w)
@@ -149,7 +191,8 @@ def preprocess_frame(
 ) -> PreprocessedFrame:
     """Full producer-side transform for one frame (getFrameFromDir path).
     ``u8=True`` emits the raw (S, H, W, 3) u8 canvases for estimators built
-    with ``input_u8`` (normalization runs on device)."""
+    with ``input_u8`` (normalization runs on device); ``u8="packed"`` emits
+    the flat live-region buffer (make_net_input_u8_packed)."""
     ori_h, ori_w = img_bgr.shape[:2]
     if disp_w is None or disp_h is None:
         disp_w, disp_h = ori_w, ori_h
@@ -157,7 +200,8 @@ def preprocess_frame(
         scale = 1.0
     else:
         display, scale = warp_to_display(img_bgr, disp_w, disp_h)
-    make = make_net_input_u8 if u8 else make_net_input
+    make = (make_net_input_u8_packed if u8 == "packed"
+            else make_net_input_u8 if u8 else make_net_input)
     net_input = make(display, net_w, net_h, num_scales, start_scale, scale_gap)
     return PreprocessedFrame(
         net_input=net_input, display=display, scale=scale, ori_width=ori_w, ori_height=ori_h
