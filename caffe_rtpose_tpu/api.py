@@ -662,6 +662,10 @@ def SGDSolver(solver_file: str, data_fn=None):
                 for dl in net.data_layers:
                     out.update(dl.next_batch())
                 return out
+        elif not net.input_names:
+            # no external inputs (e.g. DummyData nets): nothing to feed
+            def data_fn(it):
+                return {}
         else:
             def data_fn(it):
                 raise RuntimeError("provide data_fn to feed the net inputs")

@@ -1,0 +1,1606 @@
+"""A restricted MATLAB engine: executes the matcaffe M-files without MATLAB.
+
+The reference ships matcaffe as M-classes over a C++ MEX binding
+(``matlab/+caffe/Net.m``, ``matlab/caffe_.cpp`` there); this repo's
+``matlab/+caffe`` delegates to :mod:`caffe_rtpose_tpu.api` through MATLAB's
+Python engine (``py.`` namespace).  MATLAB itself is not installable in CI,
+so this module implements the *subset of the MATLAB language those files
+use* — enough to parse and actually EXECUTE every shipped ``.m`` file
+against the live Python bridge (tests/test_matlab_engine.py).  That turns
+the matcaffe surface from "inventory pinned by tests" into code that runs:
+layout conversions (column-major, 1-based, trailing-singleton rules),
+``py.`` interop, classdef dispatch, and the bridge calls are all exercised
+for real.
+
+Scope (deliberately): classdef (handle) with properties/methods blocks,
+functions with nargin/varargin, if/elseif/else, for, assignment (including
+indexed and property targets), cell/object arrays, the ``py.`` namespace
+with MATLAB's documented conversion rules, and the builtins the files call.
+Anything outside that subset raises ``MatlabError`` — silent
+misinterpretation is the one failure mode a mock engine must not have.
+"""
+
+from __future__ import annotations
+
+import importlib
+import math
+import os
+import re
+import tempfile
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class MatlabError(Exception):
+    pass
+
+
+# =============================================================== lexer
+
+_KEYWORDS = {
+    "function", "classdef", "properties", "methods", "if", "elseif",
+    "else", "for", "while", "end", "return",
+}
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>[ \t]+)
+  | (?P<cont>\.\.\..*\n)
+  | (?P<comment>%[^\n]*)
+  | (?P<nl>\n)
+  | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<str>'(?:[^'\n]|'')*')
+  | (?P<dstr>"(?:[^"\n]|"")*")
+  | (?P<id>[A-Za-z_]\w*)
+  | (?P<op>==|~=|<=|>=|&&|\|\||\.\*|\./|\.\^|[-+*/^<>=~&|:;,(){}\[\].@])
+""", re.VERBOSE)
+
+
+class Tok:
+    __slots__ = ("kind", "val", "line")
+
+    def __init__(self, kind: str, val: str, line: int):
+        self.kind, self.val, self.line = kind, val, line
+
+    def __repr__(self):
+        return f"Tok({self.kind},{self.val!r},L{self.line})"
+
+
+def tokenize(src: str) -> List[Tok]:
+    toks: List[Tok] = []
+    pos, line = 0, 1
+    if not src.endswith("\n"):
+        src += "\n"
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise MatlabError(f"lex error at line {line}: {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "cont":  # ... continuation swallows the newline
+            line += 1
+            continue
+        if kind == "nl":
+            if toks and toks[-1].kind not in ("nl", "semi"):
+                toks.append(Tok("nl", "\n", line))
+            line += 1
+            continue
+        if kind == "num":
+            toks.append(Tok("num", text, line))
+        elif kind == "str":
+            toks.append(Tok("str", text[1:-1].replace("''", "'"), line))
+        elif kind == "dstr":
+            toks.append(Tok("str", text[1:-1].replace('""', '"'), line))
+        elif kind == "id":
+            toks.append(Tok("kw" if text in _KEYWORDS else "id", text, line))
+        else:
+            toks.append(Tok("semi" if text == ";" else "op", text, line))
+    toks.append(Tok("eof", "", line))
+    return toks
+
+
+# =============================================================== AST
+
+# Nodes are tuples: (tag, ...).  Tags:
+#   num, str, ident, colonall, range(lo, step|None, hi), array(rows),
+#   cellarr(items), call(base, args), brace(base, args), field(base, name),
+#   dynfield(base, expr), binop(op, a, b), unop(op, a), handle(name),
+#   endkw  (not supported -> parse error)
+
+
+class Parser:
+    def __init__(self, toks: List[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # ---- token helpers
+    def peek(self, k=0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_op(self, *vals) -> bool:
+        t = self.peek()
+        return t.kind == "op" and t.val in vals
+
+    def expect_op(self, val):
+        t = self.next()
+        if t.kind != "op" or t.val != val:
+            raise MatlabError(f"expected {val!r}, got {t!r}")
+
+    def expect_kw(self, val):
+        t = self.next()
+        if t.kind != "kw" or t.val != val:
+            raise MatlabError(f"expected {val!r}, got {t!r}")
+
+    def skip_terms(self):
+        while self.peek().kind in ("nl", "semi"):
+            self.next()
+
+    # ---- file-level
+    def parse_file(self):
+        self.skip_terms()
+        t = self.peek()
+        if t.kind == "kw" and t.val == "classdef":
+            return self.parse_classdef()
+        if t.kind == "kw" and t.val == "function":
+            funcs = []
+            while self.peek().kind == "kw" and self.peek().val == "function":
+                funcs.append(self.parse_function())
+                self.skip_terms()
+            if self.peek().kind != "eof":
+                raise MatlabError(f"trailing content: {self.peek()!r}")
+            return ("file_funcs", funcs)
+        raise MatlabError(f"file must start with function/classdef, got {t!r}")
+
+    def parse_attrs(self) -> Dict[str, Any]:
+        """(Access = private), (Static), (SetAccess = private) ..."""
+        attrs: Dict[str, Any] = {}
+        if not self.at_op("("):
+            return attrs
+        self.next()
+        while not self.at_op(")"):
+            name = self.next().val
+            if self.at_op("="):
+                self.next()
+                attrs[name] = self.next().val
+            else:
+                attrs[name] = True
+            if self.at_op(","):
+                self.next()
+        self.expect_op(")")
+        return attrs
+
+    def parse_classdef(self):
+        self.expect_kw("classdef")
+        name = self.next().val
+        bases = []
+        if self.at_op("<"):
+            self.next()
+            while True:
+                base = self.next().val
+                while self.at_op("."):
+                    self.next()
+                    base += "." + self.next().val
+                bases.append(base)
+                if self.at_op("&"):
+                    self.next()
+                    continue
+                break
+        self.skip_terms()
+        props: List[str] = []
+        methods: Dict[str, tuple] = {}
+        static: set = set()
+        while not (self.peek().kind == "kw" and self.peek().val == "end"):
+            t = self.next()
+            if t.kind == "kw" and t.val == "properties":
+                self.parse_attrs()
+                self.skip_terms()
+                while not (self.peek().kind == "kw" and self.peek().val == "end"):
+                    props.append(self.next().val)
+                    if self.at_op("="):
+                        raise MatlabError("property defaults not supported")
+                    self.skip_terms()
+                self.next()  # end
+                self.skip_terms()
+            elif t.kind == "kw" and t.val == "methods":
+                attrs = self.parse_attrs()
+                is_static = "Static" in attrs
+                self.skip_terms()
+                while self.peek().kind == "kw" and self.peek().val == "function":
+                    f = self.parse_function()
+                    methods[f[1]] = f
+                    if is_static:
+                        static.add(f[1])
+                    self.skip_terms()
+                self.expect_kw("end")
+                self.skip_terms()
+            else:
+                raise MatlabError(f"unexpected in classdef: {t!r}")
+        self.next()  # end
+        return ("classdef", name, bases, props, methods, static)
+
+    def parse_function(self):
+        self.expect_kw("function")
+        # forms: function out = name(args) | function name(args) | function name
+        out_var = None
+        name = self.next().val
+        if self.at_op("="):
+            self.next()
+            out_var = name
+            name = self.next().val
+        elif self.at_op("["):
+            raise MatlabError("multiple return values not supported")
+        params: List[str] = []
+        if self.at_op("("):
+            self.next()
+            while not self.at_op(")"):
+                p = self.next()
+                if p.kind == "op" and p.val == "~":
+                    params.append("~")
+                else:
+                    params.append(p.val)
+                if self.at_op(","):
+                    self.next()
+            self.next()
+        self.skip_terms()
+        body = self.parse_block()
+        self.expect_kw("end")
+        return ("function", name, out_var, params, body)
+
+    # ---- statements
+    def parse_block(self) -> List[tuple]:
+        stmts = []
+        self.skip_terms()
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                break
+            if t.kind == "kw" and t.val in ("end", "else", "elseif"):
+                break
+            stmts.append(self.parse_stmt())
+            self.skip_terms()
+        return stmts
+
+    def parse_stmt(self) -> tuple:
+        t = self.peek()
+        if t.kind == "kw":
+            if t.val == "if":
+                return self.parse_if()
+            if t.val == "for":
+                return self.parse_for()
+            if t.val == "while":
+                return self.parse_while()
+            if t.val == "return":
+                self.next()
+                return ("return",)
+            if t.val == "function":
+                raise MatlabError("nested function definitions not supported")
+            raise MatlabError(f"unexpected keyword {t.val!r} at line {t.line}")
+        expr = self.parse_expr()
+        if self.at_op("="):
+            self.next()
+            rhs = self.parse_expr()
+            return ("assign", expr, rhs)
+        return ("exprstmt", expr)
+
+    def parse_if(self):
+        self.expect_kw("if")
+        branches = [(self.parse_expr(), None)]
+        self.skip_terms()
+        branches[0] = (branches[0][0], self.parse_block())
+        else_body: List[tuple] = []
+        while True:
+            t = self.peek()
+            if t.kind == "kw" and t.val == "elseif":
+                self.next()
+                cond = self.parse_expr()
+                self.skip_terms()
+                branches.append((cond, self.parse_block()))
+            elif t.kind == "kw" and t.val == "else":
+                self.next()
+                self.skip_terms()
+                else_body = self.parse_block()
+            else:
+                break
+        self.expect_kw("end")
+        return ("if", branches, else_body)
+
+    def parse_for(self):
+        self.expect_kw("for")
+        var = self.next().val
+        self.expect_op("=")
+        it = self.parse_expr()
+        self.skip_terms()
+        body = self.parse_block()
+        self.expect_kw("end")
+        return ("for", var, it, body)
+
+    def parse_while(self):
+        self.expect_kw("while")
+        cond = self.parse_expr()
+        self.skip_terms()
+        body = self.parse_block()
+        self.expect_kw("end")
+        return ("while", cond, body)
+
+    # ---- expressions (precedence climbing)
+    def parse_expr(self) -> tuple:
+        return self.parse_or()
+
+    def parse_or(self):
+        a = self.parse_and()
+        while self.at_op("||", "|"):
+            op = self.next().val
+            a = ("binop", op, a, self.parse_and())
+        return a
+
+    def parse_and(self):
+        a = self.parse_cmp()
+        while self.at_op("&&", "&"):
+            op = self.next().val
+            a = ("binop", op, a, self.parse_cmp())
+        return a
+
+    def parse_cmp(self):
+        a = self.parse_range()
+        while self.at_op("==", "~=", "<", "<=", ">", ">="):
+            op = self.next().val
+            a = ("binop", op, a, self.parse_range())
+        return a
+
+    def parse_range(self):
+        a = self.parse_add()
+        if self.at_op(":"):
+            self.next()
+            b = self.parse_add()
+            if self.at_op(":"):
+                self.next()
+                c = self.parse_add()
+                return ("range", a, b, c)  # lo, step, hi
+            return ("range", a, None, b)
+        return a
+
+    def parse_add(self):
+        a = self.parse_mul()
+        while self.at_op("+", "-"):
+            op = self.next().val
+            a = ("binop", op, a, self.parse_mul())
+        return a
+
+    def parse_mul(self):
+        a = self.parse_unary()
+        while self.at_op("*", "/", ".*", "./"):
+            op = self.next().val
+            a = ("binop", op, a, self.parse_unary())
+        return a
+
+    def parse_unary(self):
+        if self.at_op("-", "+", "~"):
+            op = self.next().val
+            return ("unop", op, self.parse_unary())
+        return self.parse_power()
+
+    def parse_power(self):
+        a = self.parse_postfix()
+        if self.at_op("^", ".^"):
+            op = self.next().val
+            return ("binop", op, a, self.parse_unary())
+        return a
+
+    def parse_postfix(self):
+        a = self.parse_primary()
+        while True:
+            if self.at_op("("):
+                self.next()
+                args = self.parse_args(")")
+                a = ("call", a, args)
+            elif self.at_op("{"):
+                self.next()
+                args = self.parse_args("}")
+                a = ("brace", a, args)
+            elif self.at_op("."):
+                self.next()
+                if self.at_op("("):  # dynamic field .("name")
+                    self.next()
+                    e = self.parse_expr()
+                    self.expect_op(")")
+                    a = ("dynfield", a, e)
+                else:
+                    a = ("field", a, self.next().val)
+            else:
+                return a
+
+    def parse_args(self, closer: str) -> List[tuple]:
+        args: List[tuple] = []
+        while not self.at_op(closer):
+            if self.at_op(":") and (self.peek(1).kind == "op"
+                                    and self.peek(1).val in (",", closer)):
+                self.next()
+                args.append(("colonall",))
+            else:
+                args.append(self.parse_expr())
+            if self.at_op(","):
+                self.next()
+        self.next()
+        return args
+
+    def parse_primary(self):
+        t = self.next()
+        if t.kind == "num":
+            return ("num", float(t.val))
+        if t.kind == "str":
+            return ("str", t.val)
+        if t.kind == "id":
+            return ("ident", t.val)
+        if t.kind == "kw" and t.val == "end":
+            raise MatlabError("'end' in indexing not supported")
+        if t.kind == "op" and t.val == "(":
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "op" and t.val == "@":
+            return ("handle", self.next().val)
+        if t.kind == "op" and t.val == "[":
+            return self.parse_matrix()
+        if t.kind == "op" and t.val == "{":
+            items = []
+            while not self.at_op("}"):
+                items.append(self.parse_expr())
+                if self.at_op(","):
+                    self.next()
+            self.next()
+            return ("cellarr", items)
+        raise MatlabError(f"unexpected token {t!r}")
+
+    def parse_matrix(self):
+        # '[' already consumed. rows separated by ';', elements by ','/space
+        rows: List[List[tuple]] = [[]]
+        while not self.at_op("]"):
+            if self.peek().kind in ("semi",):
+                self.next()
+                rows.append([])
+                continue
+            if self.peek().kind == "nl":
+                self.next()
+                continue
+            rows[-1].append(self.parse_expr())
+            if self.at_op(","):
+                self.next()
+        self.next()
+        return ("array", [r for r in rows if r])
+
+
+# =============================================================== values
+
+class MatArray:
+    """A MATLAB numeric/logical array: >=2 logical dims, column-major
+    reshape semantics, 1-based indexing, trailing-singleton trimming."""
+
+    __slots__ = ("a",)
+
+    def __init__(self, a: np.ndarray):
+        a = np.asarray(a)
+        if a.ndim == 0:
+            a = a.reshape(1, 1)
+        elif a.ndim == 1:
+            a = a.reshape(1, -1)  # MATLAB default: row vector
+        # trailing singleton trim (beyond 2 dims)
+        shape = list(a.shape)
+        while len(shape) > 2 and shape[-1] == 1:
+            shape.pop()
+        self.a = a.reshape(shape)
+
+    @property
+    def size(self) -> Tuple[int, ...]:
+        return self.a.shape
+
+    def is_scalar(self) -> bool:
+        return self.a.size == 1
+
+    def scalar(self):
+        return self.a.reshape(-1)[0]
+
+    def __repr__(self):
+        return f"MatArray({self.a!r})"
+
+
+class MatCell:
+    __slots__ = ("items",)
+
+    def __init__(self, items: List[Any]):
+        self.items = list(items)
+
+
+class MatClass:
+    def __init__(self, name, bases, props, methods, static, engine, pkg):
+        self.name, self.bases = name, bases
+        self.props, self.methods, self.static = props, methods, static
+        self.engine, self.pkg = engine, pkg
+
+
+class MatObject:
+    __slots__ = ("cls", "props")
+
+    def __init__(self, cls: MatClass):
+        self.cls = cls
+        self.props: Dict[str, Any] = {}
+
+
+class MatObjArray:
+    __slots__ = ("cls", "items")
+
+    def __init__(self, cls: Optional[MatClass], items: List[Any]):
+        self.cls, self.items = cls, items
+
+
+class MatFunction:
+    def __init__(self, node, engine, pkg, name=None):
+        _, fname, out_var, params, body = node
+        self.name = name or fname
+        self.out_var, self.params, self.body = out_var, params, body
+        self.engine, self.pkg = engine, pkg
+
+
+class BoundMethod:
+    __slots__ = ("obj", "fn")
+
+    def __init__(self, obj, fn: MatFunction):
+        self.obj, self.fn = obj, fn
+
+
+class Builtin:
+    __slots__ = ("name", "fn")
+
+    def __init__(self, name, fn):
+        self.name, self.fn = name, fn
+
+
+class Package:
+    """A +pkg directory: resolves classes, functions, and subpackages."""
+
+    def __init__(self, engine: "MatlabEngine", path: str, name: str):
+        self.engine, self.path, self.name = engine, path, name
+        self._cache: Dict[str, Any] = {}
+
+    def resolve(self, name: str):
+        if name in self._cache:
+            return self._cache[name]
+        sub = os.path.join(self.path, "+" + name)
+        mfile = os.path.join(self.path, name + ".m")
+        if os.path.isdir(sub):
+            val = Package(self.engine, sub, f"{self.name}.{name}")
+        elif os.path.isfile(mfile):
+            val = self.engine._load_mfile(mfile, self)
+        else:
+            raise MatlabError(f"unknown name {self.name}.{name}")
+        self._cache[name] = val
+        return val
+
+
+class PyRoot:
+    """The MATLAB ``py.`` namespace."""
+    pass
+
+
+class PyModuleRef:
+    """Lazy dotted path under py. — resolves to a module or attr chain."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self, parts: Tuple[str, ...]):
+        self.parts = parts
+
+    def resolve(self):
+        # import the longest importable module prefix, then getattr the rest
+        obj = None
+        for k in range(len(self.parts), 0, -1):
+            try:
+                obj = importlib.import_module(".".join(self.parts[:k]))
+                rest = self.parts[k:]
+                break
+            except ImportError:
+                continue
+        else:
+            raise MatlabError(f"py module not found: {'.'.join(self.parts)}")
+        for name in rest:
+            obj = getattr(obj, name)
+        return obj
+
+
+# ============================================== MATLAB <-> Python boundary
+
+def matlab_to_py(v):
+    """MATLAB value -> Python, per MATLAB's pass-to-Python conversion:
+    char -> str, scalars -> float/int/bool, numeric arrays -> ndarray with
+    the same logical shape and values."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        return float(v)
+    if isinstance(v, MatArray):
+        if v.is_scalar():
+            s = v.scalar()
+            if isinstance(s, (np.integer,)):
+                return int(s)
+            if isinstance(s, (np.bool_,)):
+                return bool(s)
+            return float(s) if v.a.dtype != np.float32 else np.float32(s)
+        return np.ascontiguousarray(v.a)
+    if isinstance(v, MatCell):
+        return [matlab_to_py(x) for x in v.items]
+    return v  # py objects pass through
+
+
+def py_to_matlab(v):
+    """Python value -> MATLAB, per MATLAB's convert-from-Python rules used
+    by single()/double()/char()/cell() and auto-scalar conversion.  Most py
+    values stay opaque py objects until explicitly converted — this helper
+    is only applied where MATLAB itself would auto-convert (never for
+    attribute access results)."""
+    return v
+
+
+# =============================================================== engine
+
+class _ReturnSignal(Exception):
+    pass
+
+
+class MatlabEngine:
+    """Interpret the repo's matcaffe M-files against the live Python api.
+
+    >>> eng = MatlabEngine("/root/repo/matlab")
+    >>> eng.call("caffe.version")
+    """
+
+    def __init__(self, matlab_root: str):
+        self.root = matlab_root
+        self.packages: Dict[str, Package] = {}
+        for entry in os.listdir(matlab_root):
+            if entry.startswith("+"):
+                self.packages[entry[1:]] = Package(
+                    self, os.path.join(matlab_root, entry), entry[1:])
+        self._files: Dict[str, int] = {}  # open file handles
+        self._next_fid = 3
+        self.stdout: List[str] = []
+
+    # ---- loading
+    def _load_mfile(self, path: str, pkg: Package):
+        with open(path) as f:
+            src = f.read()
+        node = Parser(tokenize(src)).parse_file()
+        base = os.path.splitext(os.path.basename(path))[0]
+        if node[0] == "classdef":
+            _, name, bases, props, methods, static = node
+            if name != base:
+                raise MatlabError(f"classdef {name} in {base}.m")
+            return MatClass(name, bases, props,
+                            {k: MatFunction(v, self, pkg) for k, v in methods.items()},
+                            static, self, pkg)
+        funcs = node[1]
+        main = None
+        for f_node in funcs:
+            if f_node[1] == base:
+                main = MatFunction(f_node, self, pkg)
+        if main is None:
+            main = MatFunction(funcs[0], self, pkg, name=base)
+        return main
+
+    # ---- public API
+    def resolve(self, qualname: str):
+        parts = qualname.split(".")
+        obj: Any = self.packages[parts[0]]
+        for p in parts[1:]:
+            if isinstance(obj, Package):
+                obj = obj.resolve(p)
+            elif isinstance(obj, MatClass):
+                obj = obj.methods[p]
+            else:
+                raise MatlabError(f"cannot resolve {qualname}")
+        return obj
+
+    def call(self, qualname: str, *args):
+        fn = self.resolve(qualname)
+        margs = [self._in(a) for a in args]
+        if isinstance(fn, MatClass):
+            return self.construct(fn, margs)
+        return self.call_function(fn, margs)
+
+    def call_method(self, obj, name: str, *args):
+        margs = [self._in(a) for a in args]
+        return self._invoke_method(obj, name, margs)
+
+    def _in(self, v):
+        """Python test value -> MATLAB value."""
+        if isinstance(v, np.ndarray):
+            return MatArray(v)
+        if isinstance(v, (list, tuple)):
+            return MatCell([self._in(x) for x in v])
+        return v
+
+    # ---- function machinery
+    def call_function(self, fn, args: List[Any], self_obj=None):
+        if isinstance(fn, Builtin):
+            return fn.fn(*args)
+        if isinstance(fn, BoundMethod):
+            return self.call_function(fn.fn, args, self_obj=fn.obj)
+        if isinstance(fn, MatClass):
+            return self.construct(fn, args)
+        if not isinstance(fn, MatFunction):
+            raise MatlabError(f"not callable: {fn!r}")
+        env: Dict[str, Any] = {}
+        params = list(fn.params)
+        if self_obj is not None:
+            args = [self_obj] + args
+        nargin = len(args)
+        if params and params[-1] == "varargin":
+            fixed = params[:-1]
+            for i, p in enumerate(fixed):
+                if i < len(args) and p != "~":
+                    env[p] = args[i]
+            env["varargin"] = MatCell(args[len(fixed):])
+        else:
+            if len(args) > len(params):
+                raise MatlabError(
+                    f"too many args to {fn.name} ({len(args)} > {len(params)})")
+            for i, a in enumerate(args):
+                if params[i] != "~":
+                    env[params[i]] = a
+        env["nargin"] = float(nargin)
+        if fn.out_var is not None and fn.out_var not in env:
+            env[fn.out_var] = MatArray(np.zeros((0, 0)))
+        try:
+            self.exec_block(fn.body, env, fn.pkg)
+        except _ReturnSignal:
+            pass
+        if fn.out_var is not None:
+            return env.get(fn.out_var)
+        return None
+
+    def construct(self, cls: MatClass, args: List[Any]):
+        ctor = cls.methods.get(cls.name)
+        if ctor is None:
+            return MatObject(cls)
+        obj = MatObject(cls)
+        env: Dict[str, Any] = {}
+        params = list(ctor.params)
+        nargin = len(args) + 1  # self counts? no: MATLAB ctor nargin = user args
+        nargin = len(args)
+        for i, a in enumerate(args):
+            if i + 1 < len(params) + 1 and i < len(params) - 1 or True:
+                pass
+        # bind: first param is the output 'self'? No — constructor params are
+        # the user args; out_var is the object.
+        if params and params[-1] == "varargin":
+            fixed = params[:-1]
+            for i, p in enumerate(fixed):
+                if i < len(args):
+                    env[p] = args[i]
+            env["varargin"] = MatCell(args[len(fixed):])
+        else:
+            for i, a in enumerate(args):
+                env[params[i]] = a
+        env["nargin"] = float(nargin)
+        env[ctor.out_var] = obj
+        try:
+            self.exec_block(ctor.body, env, ctor.pkg)
+        except _ReturnSignal:
+            pass
+        return env[ctor.out_var]
+
+    def _invoke_method(self, obj, name: str, args: List[Any]):
+        if isinstance(obj, MatObject):
+            m = obj.cls.methods.get(name)
+            if m is not None:
+                return self.call_function(m, args, self_obj=obj)
+            raise MatlabError(f"no method {name} on {obj.cls.name}")
+        raise MatlabError(f"method call on non-object {type(obj)}")
+
+    # ---- statement execution
+    def exec_block(self, stmts, env, pkg):
+        for s in stmts:
+            self.exec_stmt(s, env, pkg)
+
+    def exec_stmt(self, s, env, pkg):
+        tag = s[0]
+        if tag == "exprstmt":
+            self.eval(s[1], env, pkg)
+        elif tag == "assign":
+            val = self.eval(s[2], env, pkg)
+            self.store(s[1], val, env, pkg)
+        elif tag == "if":
+            _, branches, else_body = s
+            for cond, body in branches:
+                if self._truth(self.eval(cond, env, pkg)):
+                    self.exec_block(body, env, pkg)
+                    return
+            self.exec_block(else_body, env, pkg)
+        elif tag == "for":
+            _, var, it_expr, body = s
+            it = self.eval(it_expr, env, pkg)
+            for v in self._iterate(it):
+                env[var] = v
+                self.exec_block(body, env, pkg)
+        elif tag == "while":
+            _, cond, body = s
+            while self._truth(self.eval(cond, env, pkg)):
+                self.exec_block(body, env, pkg)
+        elif tag == "return":
+            raise _ReturnSignal()
+        else:
+            raise MatlabError(f"unknown statement {tag}")
+
+    def _iterate(self, it):
+        if isinstance(it, MatArray):
+            # iterate columns; for row vectors that is each element
+            a = it.a
+            if a.ndim == 2 and a.shape[0] == 1:
+                return [self._scalarize(x) for x in a.reshape(-1)]
+            return [MatArray(a[..., j]) for j in range(a.shape[-1])]
+        raise MatlabError(f"cannot iterate {type(it)}")
+
+    @staticmethod
+    def _scalarize(x):
+        if isinstance(x, (np.floating,)):
+            return float(x)
+        if isinstance(x, (np.integer,)):
+            return int(x)
+        if isinstance(x, np.bool_):
+            return bool(x)
+        return x
+
+    def _truth(self, v) -> bool:
+        if isinstance(v, MatArray):
+            return bool(v.a.size) and bool(np.all(v.a))
+        if isinstance(v, (bool, np.bool_)):
+            return bool(v)
+        if isinstance(v, (int, float, np.integer, np.floating)):
+            return v != 0
+        if isinstance(v, str):
+            return len(v) > 0
+        raise MatlabError(f"no truth value for {type(v)}")
+
+    # ---- lvalue store
+    def store(self, lhs, val, env, pkg):
+        tag = lhs[0]
+        if tag == "ident":
+            env[lhs[1]] = val
+            return
+        if tag == "field":
+            base = self.eval(lhs[1], env, pkg)
+            if isinstance(base, MatObject):
+                base.props[lhs[2]] = val
+            else:  # python object attribute (e.g. pyblob.data = ...)
+                setattr(base, lhs[2], matlab_to_py(val))
+            return
+        if tag == "brace":
+            base = self.eval(lhs[1], env, pkg)
+            idx = [self.eval(a, env, pkg) for a in lhs[2]]
+            if isinstance(base, MatCell):
+                i = self._int_index(idx)
+                while len(base.items) < i:
+                    base.items.append(MatArray(np.zeros((0, 0))))
+                base.items[i - 1] = val
+            elif isinstance(base, dict):
+                if len(idx) != 1 or not isinstance(idx[0], str):
+                    raise MatlabError("py dict brace-assign needs one str key")
+                base[idx[0]] = matlab_to_py(val)
+            elif hasattr(base, "__setitem__"):
+                key = idx[0]
+                if isinstance(key, str):
+                    base[key] = matlab_to_py(val)
+                else:
+                    base[self._int_index(idx) - 1] = matlab_to_py(val)
+            else:
+                raise MatlabError(f"cannot brace-assign into {type(base)}")
+            return
+        if tag == "call":  # paren-assign: array element or object array
+            base = self.eval(lhs[1], env, pkg)
+            idx = [self.eval(a, env, pkg) for a in lhs[2]]
+            if isinstance(base, MatObjArray):
+                i = self._int_index(idx)
+                while len(base.items) < i:
+                    base.items.append(None)
+                base.items[i - 1] = val
+                if base.cls is None and isinstance(val, MatObject):
+                    base.cls = val.cls
+                return
+            if isinstance(base, MatArray):
+                self._array_assign(base, idx, val)
+                return
+            raise MatlabError(f"cannot paren-assign into {type(base)}")
+        raise MatlabError(f"bad assignment target {tag}")
+
+    @staticmethod
+    def _int_index(idx) -> int:
+        if len(idx) != 1:
+            raise MatlabError("only linear indexing supported here")
+        v = idx[0]
+        if isinstance(v, MatArray):
+            v = v.scalar()
+        return int(v)
+
+    def _array_assign(self, arr: MatArray, idx, val):
+        if len(idx) == 1:
+            sel = self._linear_sel(arr, idx[0])
+            flat = arr.a.reshape(-1, order="F").copy()
+            v = val.a.reshape(-1, order="F") if isinstance(val, MatArray) else val
+            flat[sel] = v
+            arr.a = flat.reshape(arr.a.shape, order="F")
+            return
+        raise MatlabError("multi-dim paren-assign not supported")
+
+    def _linear_sel(self, arr: MatArray, ix):
+        if isinstance(ix, MatArray):
+            return ix.a.reshape(-1, order="F").astype(np.int64) - 1
+        return np.array([int(ix) - 1])
+
+    # ---- expression evaluation
+    def eval(self, e, env, pkg):
+        tag = e[0]
+        if tag == "num":
+            return e[1]
+        if tag == "str":
+            return e[1]
+        if tag == "ident":
+            v = self._lookup(e[1], env, pkg)
+            # a bare name that resolves to a function is INVOKED in value
+            # context (MATLAB semantics: `model = tempname;`); function
+            # *handles* (@name) stay uncalled
+            if isinstance(v, (Builtin, MatFunction)) and e[1] not in env:
+                return self.call_function(v, [])
+            return v
+        if tag == "handle":
+            name = e[1]
+            if name in BUILTINS:
+                return BUILTINS[name]
+            return self._lookup(name, env, pkg)
+        if tag == "range":
+            lo = self._num(self.eval(e[1], env, pkg))
+            step = self._num(self.eval(e[2], env, pkg)) if e[2] is not None else 1.0
+            hi = self._num(self.eval(e[3], env, pkg))
+            n = math.floor((hi - lo) / step + 1e-10) + 1
+            vals = [lo + i * step for i in range(max(0, int(n)))]
+            return MatArray(np.array(vals, dtype=np.float64))
+        if tag == "array":
+            return self._build_array(e[1], env, pkg)
+        if tag == "cellarr":
+            return MatCell([self.eval(x, env, pkg) for x in e[1]])
+        if tag == "binop":
+            return self._binop(e[1], e[2], e[3], env, pkg)
+        if tag == "unop":
+            v = self.eval(e[2], env, pkg)
+            if e[1] == "-":
+                return self._neg(v)
+            if e[1] == "+":
+                return v
+            if e[1] == "~":
+                if isinstance(v, MatArray):
+                    return MatArray(~v.a.astype(bool))
+                return not self._truth(v)
+        if tag == "field":
+            base = self.eval(e[1], env, pkg)
+            return self._getfield(base, e[2], env, pkg)
+        if tag == "dynfield":
+            base = self.eval(e[1], env, pkg)
+            name = self.eval(e[2], env, pkg)
+            return self._getfield(base, str(name), env, pkg)
+        if tag == "brace":
+            base = self.eval(e[1], env, pkg)
+            idx = [self.eval(a, env, pkg) for a in e[2]]
+            return self._brace_index(base, idx)
+        if tag == "call":
+            return self._eval_call(e, env, pkg)
+        if tag == "colonall":
+            raise MatlabError("':' outside indexing")
+        raise MatlabError(f"unknown expr {tag}")
+
+    def _lookup(self, name, env, pkg):
+        if name in env:
+            return env[name]
+        if name == "py":
+            return PyRoot()
+        if name == "true":
+            return True
+        if name == "false":
+            return False
+        if name == "pi":
+            return math.pi
+        if name in self.packages:
+            return self.packages[name]
+        if pkg is not None:
+            # a sibling file in the same package is visible unqualified
+            try:
+                return pkg.resolve(name)
+            except MatlabError:
+                pass
+        if name in BUILTINS:
+            return BUILTINS[name]
+        raise MatlabError(f"undefined name {name!r}")
+
+    @staticmethod
+    def _num(v) -> float:
+        if isinstance(v, MatArray):
+            return float(v.scalar())
+        if isinstance(v, (bool, np.bool_)):
+            return float(bool(v))
+        return float(v)
+
+    def _build_array(self, rows, env, pkg):
+        out_rows = []
+        for row in rows:
+            vals = [self.eval(x, env, pkg) for x in row]
+            if any(isinstance(v, str) for v in vals):
+                if len(rows) > 1:
+                    raise MatlabError("string matrix rows not supported")
+                return "".join(self._char(v) for v in vals)
+            cells = []
+            for v in vals:
+                if isinstance(v, MatArray):
+                    cells.append(np.atleast_2d(v.a))
+                else:
+                    cells.append(np.array([[self._num(v)]]))
+            out_rows.append(np.hstack(cells) if cells else np.zeros((1, 0)))
+        if not out_rows:
+            return MatArray(np.zeros((0, 0)))
+        return MatArray(np.vstack(out_rows))
+
+    @staticmethod
+    def _char(v) -> str:
+        if isinstance(v, str):
+            return v
+        raise MatlabError(f"cannot concat {type(v)} into char array")
+
+    def _neg(self, v):
+        if isinstance(v, MatArray):
+            return MatArray(-v.a)
+        return -v
+
+    def _binop(self, op, ae, be, env, pkg):
+        if op == "&&":
+            return self._truth(self.eval(ae, env, pkg)) and \
+                self._truth(self.eval(be, env, pkg))
+        if op == "||":
+            return self._truth(self.eval(ae, env, pkg)) or \
+                self._truth(self.eval(be, env, pkg))
+        a = self.eval(ae, env, pkg)
+        b = self.eval(be, env, pkg)
+        if op in ("==", "~=") and (isinstance(a, str) or isinstance(b, str)):
+            if isinstance(a, str) and isinstance(b, str):
+                eq = a == b
+                return eq if op == "==" else not eq
+        an = a.a if isinstance(a, MatArray) else a
+        bn = b.a if isinstance(b, MatArray) else b
+        if isinstance(an, str) or isinstance(bn, str):
+            raise MatlabError(f"bad operands for {op}")
+        ops = {
+            "+": np.add, "-": np.subtract, "*": np.multiply, "/": np.divide,
+            ".*": np.multiply, "./": np.divide, "^": np.power, ".^": np.power,
+            "==": np.equal, "~=": np.not_equal, "<": np.less,
+            "<=": np.less_equal, ">": np.greater, ">=": np.greater_equal,
+            "&": np.logical_and, "|": np.logical_or,
+        }
+        r = ops[op](an, bn)
+        if isinstance(r, np.ndarray) and r.ndim > 0:
+            return MatArray(r)
+        return self._scalarize(np.asarray(r).reshape(-1)[0])
+
+    # ---- member access / indexing / calls
+    def _getfield(self, base, name, env, pkg):
+        if isinstance(base, PyRoot):
+            if name in _PY_SPECIAL:
+                return _PY_SPECIAL[name]
+            return PyModuleRef((name,))
+        if isinstance(base, PyModuleRef):
+            try:
+                return getattr(base.resolve(), name)
+            except MatlabError:
+                return PyModuleRef(base.parts + (name,))
+        if isinstance(base, Package):
+            return base.resolve(name)
+        if isinstance(base, MatClass):
+            if name == "empty":
+                return Builtin("empty", lambda *a, _c=base: MatObjArray(_c, []))
+            m = base.methods.get(name)
+            if m is not None and name in base.static:
+                return m
+            raise MatlabError(f"no static {name} on class {base.name}")
+        if isinstance(base, MatObject):
+            if name in base.props or name in base.cls.props:
+                return base.props.get(name, MatArray(np.zeros((0, 0))))
+            m = base.cls.methods.get(name)
+            if m is not None:
+                return BoundMethod(base, m)
+            raise MatlabError(f"no property/method {name} on {base.cls.name}")
+        # python object
+        return getattr(base, name)
+
+    def _brace_index(self, base, idx):
+        if isinstance(base, MatCell):
+            return base.items[self._int_index(idx) - 1]
+        if isinstance(base, dict):
+            return base[idx[0]]
+        if hasattr(base, "__getitem__"):
+            key = idx[0]
+            if isinstance(key, str):
+                return base[key]
+            # MATLAB brace-indexes py sequences 1-based
+            return base[self._int_index(idx) - 1]
+        raise MatlabError(f"cannot brace-index {type(base)}")
+
+    def _eval_call(self, e, env, pkg):
+        _, base_e, arg_es = e
+        # builtin / function-name call with the callee as bare ident
+        if base_e[0] == "ident":
+            name = base_e[1]
+            if name not in env:
+                if name in BUILTINS:
+                    args = [self.eval(a, env, pkg) for a in arg_es]
+                    return BUILTINS[name].fn(*args)
+                target = self._lookup(name, env, pkg)
+                return self._call_value(target, arg_es, env, pkg)
+            target = env[name]
+            if isinstance(target, MatArray):
+                idx = [self.eval(a, env, pkg) for a in arg_es]
+                return self._array_index(target, idx)
+            return self._call_value(target, arg_es, env, pkg)
+        # method call obj.m(args) — resolve without auto-invoking the method
+        if base_e[0] == "field":
+            obj = self.eval(base_e[1], env, pkg)
+            name = base_e[2]
+            if isinstance(obj, MatObject):
+                m = obj.cls.methods.get(name)
+                if m is not None:
+                    args = [self.eval(a, env, pkg) for a in arg_es]
+                    return self.call_function(m, args, self_obj=obj)
+            target = self._getfield(obj, name, env, pkg)
+            return self._call_value(target, arg_es, env, pkg)
+        target = self.eval(base_e, env, pkg)
+        return self._call_value(target, arg_es, env, pkg)
+
+    def _call_value(self, target, arg_es, env, pkg):
+        args = [self.eval(a, env, pkg) for a in arg_es]
+        if isinstance(target, Builtin):
+            return target.fn(*args)
+        if isinstance(target, (MatFunction, BoundMethod, MatClass)):
+            return self.call_function(target, args) \
+                if not isinstance(target, MatClass) else self.construct(target, args)
+        if isinstance(target, MatObjArray):
+            return target.items[self._int_index(args) - 1]
+        if isinstance(target, MatArray):
+            return self._array_index(target, args)
+        if isinstance(target, MatCell):
+            raise MatlabError("cell paren-indexing not supported (use braces)")
+        if isinstance(target, PyModuleRef):
+            target = target.resolve()
+        if callable(target):
+            pyargs = [matlab_to_py(a) for a in args]
+            return target(*pyargs)
+        raise MatlabError(f"cannot call {type(target)}")
+
+    def _array_index(self, arr: MatArray, idx):
+        a = arr.a
+        if len(idx) == 1 and not any(i == ("colonall",) for i in idx):
+            ix = idx[0]
+            flat = a.reshape(-1, order="F")
+            if isinstance(ix, MatArray):
+                sel = ix.a.reshape(-1, order="F").astype(np.int64) - 1
+                out = flat[sel]
+                return MatArray(out.reshape(ix.a.shape, order="F")) \
+                    if ix.a.size > 1 else self._scalarize(out[0])
+            return self._scalarize(flat[int(self._num(ix)) - 1])
+        # multi-dim indexing with ':' / vectors / scalars
+        sels = []
+        for d, ix in enumerate(idx):
+            if ix == ("colonall",) or (isinstance(ix, tuple) and ix == ("colonall",)):
+                sels.append(slice(None))
+            elif isinstance(ix, MatArray):
+                sels.append(ix.a.reshape(-1, order="F").astype(np.int64) - 1)
+            else:
+                sels.append(int(self._num(ix)) - 1)
+        out = a[np.ix_(*[np.arange(a.shape[d])[s] if isinstance(s, slice)
+                         else np.atleast_1d(s)
+                         for d, s in enumerate(sels)])]
+        if out.size == 1 and all(not isinstance(s, slice) and np.ndim(s) == 0
+                                 for s in sels):
+            return self._scalarize(out.reshape(-1)[0])
+        return MatArray(out)
+
+    # evaluation of index args must preserve the colonall marker
+    # (handled via eval returning the marker) — patch eval for colonall:
+
+
+# colonall handling: inside _eval_call/_array_index we re-evaluate args,
+# so make eval return the marker itself
+_orig_eval = MatlabEngine.eval
+
+def _eval_with_colon(self, e, env, pkg):
+    if e[0] == "colonall":
+        return ("colonall",)
+    return _orig_eval(self, e, env, pkg)
+
+MatlabEngine.eval = _eval_with_colon
+
+
+# =============================================================== builtins
+
+def _as_mat(v) -> MatArray:
+    if isinstance(v, MatArray):
+        return v
+    if isinstance(v, (int, float, bool, np.integer, np.floating, np.bool_)):
+        return MatArray(np.array([[v]]))
+    if isinstance(v, np.ndarray):
+        return MatArray(v)
+    raise MatlabError(f"expected array, got {type(v)}")
+
+
+def _b_numel(x):
+    if isinstance(x, MatCell):
+        return float(len(x.items))
+    if isinstance(x, MatObjArray):
+        return float(len(x.items))
+    if isinstance(x, str):
+        return float(len(x))
+    return float(_as_mat(x).a.size)
+
+
+def _b_ndims(x):
+    return float(max(2, _as_mat(x).a.ndim))
+
+
+def _b_size(x, dim=None):
+    a = _as_mat(x).a
+    shape = list(a.shape)
+    while len(shape) < 2:
+        shape.append(1)
+    if dim is not None:
+        d = int(MatlabEngine._num(dim))
+        return float(shape[d - 1]) if d <= len(shape) else 1.0
+    return MatArray(np.array(shape, dtype=np.float64))
+
+
+def _b_reshape(x, *dims):
+    a = _as_mat(x).a
+    if len(dims) == 1:
+        shape = [int(v) for v in _as_mat(dims[0]).a.reshape(-1)]
+    else:
+        shape = [int(MatlabEngine._num(d)) for d in dims]
+    return MatArray(a.reshape(shape, order="F"))
+
+
+def _b_permute(x, order):
+    a = _as_mat(x).a
+    od = [int(v) - 1 for v in _as_mat(order).a.reshape(-1)]
+    # order may name more dims than x has: pad with trailing singletons
+    while a.ndim < len(od):
+        a = a.reshape(a.shape + (1,))
+    return MatArray(np.transpose(a, od))
+
+
+def _b_single(x):
+    if isinstance(x, MatArray):
+        return MatArray(x.a.astype(np.float32))
+    if isinstance(x, (int, float, bool)):
+        return MatArray(np.array([[x]], dtype=np.float32))
+    if isinstance(x, np.ndarray):
+        return MatArray(x.astype(np.float32))
+    # python object: MATLAB converts buffer/array-like
+    return MatArray(np.asarray(x, dtype=np.float32))
+
+
+def _b_double(x):
+    if isinstance(x, MatArray):
+        return MatArray(x.a.astype(np.float64)) if not x.is_scalar() \
+            else float(x.scalar())
+    if isinstance(x, (int, float, bool, np.integer, np.floating)):
+        return float(x)
+    arr = np.asarray(x, dtype=np.float64)
+    if arr.ndim == 0:
+        return float(arr)
+    return MatArray(arr)
+
+
+def _b_char(x):
+    if isinstance(x, str):
+        return x
+    return str(x)
+
+
+def _b_cell(*args):
+    if len(args) == 1 and not isinstance(args[0], (int, float, MatArray)):
+        return MatCell([py_to_matlab(v) for v in list(args[0])])
+    if len(args) == 2:
+        r = int(MatlabEngine._num(args[0]))
+        c = int(MatlabEngine._num(args[1]))
+        if r != 1:
+            raise MatlabError("cell(r,c) with r != 1 not supported")
+        return MatCell([MatArray(np.zeros((0, 0))) for _ in range(c)])
+    raise MatlabError("unsupported cell() form")
+
+
+def _b_cellfun(fn, c, *opts):
+    uniform = True
+    i = 0
+    while i < len(opts):
+        if isinstance(opts[i], str) and opts[i] == "UniformOutput":
+            uniform = bool(opts[i + 1]) if not isinstance(opts[i + 1], MatArray) \
+                else bool(opts[i + 1].scalar())
+            i += 2
+        else:
+            raise MatlabError("unsupported cellfun option")
+    if not isinstance(c, MatCell):
+        raise MatlabError("cellfun needs a cell array")
+    eng_call = (lambda v: fn.fn(v)) if isinstance(fn, Builtin) else None
+    out = []
+    for item in c.items:
+        if eng_call:
+            out.append(eng_call(item))
+        elif isinstance(fn, (MatFunction, BoundMethod)):
+            out.append(fn.engine.call_function(fn, [item]))
+        else:
+            raise MatlabError("cellfun: bad function handle")
+    if uniform:
+        return MatArray(np.array([MatlabEngine._num(v) for v in out]))
+    return MatCell(out)
+
+
+def _b_isempty(x):
+    if isinstance(x, MatCell):
+        return len(x.items) == 0
+    if isinstance(x, MatObjArray):
+        return len(x.items) == 0
+    if isinstance(x, str):
+        return len(x) == 0
+    if isinstance(x, MatArray):
+        return x.a.size == 0
+    if x is None:
+        return True
+    return False
+
+
+def _b_find(x, k=None):
+    a = _as_mat(x).a.reshape(-1, order="F")
+    nz = np.nonzero(a)[0] + 1
+    if k is not None:
+        nz = nz[: int(MatlabEngine._num(k))]
+    if nz.size == 0:
+        return MatArray(np.zeros((0, 0)))
+    return MatArray(nz.astype(np.float64)) if nz.size > 1 \
+        else float(nz[0])
+
+
+def _b_strcmp(a, b):
+    if isinstance(a, MatCell) and isinstance(b, str):
+        return MatArray(np.array([isinstance(x, str) and x == b
+                                  for x in a.items]))
+    if isinstance(b, MatCell) and isinstance(a, str):
+        return _b_strcmp(b, a)
+    return isinstance(a, str) and isinstance(b, str) and a == b
+
+
+def _b_assert(cond, *msg):
+    ok = MatlabEngine._truth(None, cond) if False else _truth_static(cond)
+    if not ok:
+        text = msg[0] if msg and isinstance(msg[0], str) else "assertion failed"
+        raise MatlabError(f"assert: {text}")
+
+
+def _truth_static(v) -> bool:
+    if isinstance(v, MatArray):
+        return bool(v.a.size) and bool(np.all(v.a))
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return v != 0
+    return bool(v)
+
+
+_FPRINTF_FILES: Dict[int, Any] = {}
+_FPRINTF_NEXT = [3]
+_FPRINTF_OUT: List[str] = []
+
+
+def _format_fprintf(fmt: str, args) -> str:
+    fmt = fmt.replace("\\n", "\n").replace("\\t", "\t")
+    out, ai = [], 0
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec == "%":
+                out.append("%")
+                i += 2
+                continue
+            arg = args[ai]
+            ai += 1
+            if spec == "s":
+                out.append(str(arg))
+            elif spec in ("d", "i"):
+                out.append(str(int(MatlabEngine._num(arg))))
+            elif spec in ("f", "g", "e"):
+                out.append(("%" + spec) % MatlabEngine._num(arg))
+            else:
+                raise MatlabError(f"fprintf spec %{spec} unsupported")
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _b_fprintf(*args):
+    if args and not isinstance(args[0], str):
+        fid = int(MatlabEngine._num(args[0]))
+        text = _format_fprintf(args[1], args[2:])
+        f = _FPRINTF_FILES.get(fid)
+        if f is None:
+            raise MatlabError(f"fprintf: bad fid {fid}")
+        f.write(text)
+    else:
+        text = _format_fprintf(args[0], args[1:])
+        _FPRINTF_OUT.append(text)
+    return None
+
+
+def _b_fopen(path, mode="r"):
+    f = open(path, mode)
+    fid = _FPRINTF_NEXT[0]
+    _FPRINTF_NEXT[0] += 1
+    _FPRINTF_FILES[fid] = f
+    return float(fid)
+
+
+def _b_fclose(fid):
+    f = _FPRINTF_FILES.pop(int(MatlabEngine._num(fid)), None)
+    if f is not None:
+        f.close()
+    return 0.0
+
+
+def _b_exist(path, kind=None):
+    if kind == "file" or kind is None:
+        return 2.0 if os.path.isfile(str(path)) else 0.0
+    if kind == "dir":
+        return 7.0 if os.path.isdir(str(path)) else 0.0
+    return 0.0
+
+
+def _b_isequal(a, b):
+    if isinstance(a, MatArray) and isinstance(b, MatArray):
+        return a.a.shape == b.a.shape and bool(np.array_equal(a.a, b.a))
+    if isinstance(a, str) or isinstance(b, str):
+        return a == b
+    return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+
+
+def _b_max(a, b=None):
+    if b is None:
+        return float(np.max(_as_mat(a).a))
+    an = _as_mat(a).a if isinstance(a, MatArray) else a
+    bn = _as_mat(b).a if isinstance(b, MatArray) else b
+    r = np.maximum(an, bn)
+    return MatArray(r) if isinstance(r, np.ndarray) and np.ndim(r) > 0 and np.size(r) > 1 \
+        else float(np.asarray(r).reshape(-1)[0])
+
+
+def _b_rand(*dims):
+    shape = [int(MatlabEngine._num(d)) for d in dims] or [1]
+    if len(shape) == 1:
+        shape = [shape[0], shape[0]]
+    # column-major fill to mirror MATLAB's element order
+    n = int(np.prod(shape))
+    return MatArray(np.random.rand(n).reshape(shape, order="F"))
+
+
+def _b_ones(*dims):
+    shape = [int(MatlabEngine._num(d)) for d in dims] or [1, 1]
+    if len(shape) == 1:
+        shape = [shape[0], shape[0]]
+    return MatArray(np.ones(shape))
+
+
+def _b_zeros(*dims):
+    shape = [int(MatlabEngine._num(d)) for d in dims] or [1, 1]
+    if len(shape) == 1:
+        shape = [shape[0], shape[0]]
+    return MatArray(np.zeros(shape))
+
+
+def _b_fliplr(x):
+    a = _as_mat(x).a
+    return MatArray(a[:, ::-1])
+
+
+def _b_int32(x):
+    return int(MatlabEngine._num(x))
+
+
+def _b_tempname():
+    fd, path = tempfile.mkstemp(prefix="mat_engine_")
+    os.close(fd)
+    os.remove(path)
+    return path
+
+
+def _b_delete(path):
+    os.remove(str(path))
+    return None
+
+
+def _b_error(*args):
+    raise MatlabError(_format_fprintf(args[0], args[1:]) if args else "error")
+
+
+BUILTINS: Dict[str, Builtin] = {name: Builtin(name, fn) for name, fn in {
+    "numel": _b_numel,
+    "ndims": _b_ndims,
+    "size": _b_size,
+    "reshape": _b_reshape,
+    "permute": _b_permute,
+    "single": _b_single,
+    "double": _b_double,
+    "char": _b_char,
+    "cell": _b_cell,
+    "cellfun": _b_cellfun,
+    "isempty": _b_isempty,
+    "find": _b_find,
+    "strcmp": _b_strcmp,
+    "assert": _b_assert,
+    "fprintf": _b_fprintf,
+    "fopen": _b_fopen,
+    "fclose": _b_fclose,
+    "exist": _b_exist,
+    "ischar": lambda x: isinstance(x, str),
+    "isequal": _b_isequal,
+    "max": _b_max,
+    "rand": _b_rand,
+    "ones": _b_ones,
+    "zeros": _b_zeros,
+    "fliplr": _b_fliplr,
+    "int32": _b_int32,
+    "upper": lambda s: s.upper(),
+    "lower": lambda s: s.lower(),
+    "tempname": _b_tempname,
+    "delete": _b_delete,
+    "error": _b_error,
+    "disp": lambda x: _FPRINTF_OUT.append(str(x) + "\n"),
+}.items()}
+
+
+# py.<special> names that are not modules
+_PY_SPECIAL = {
+    "len": Builtin("py.len", lambda x: len(x)),
+    "getattr": Builtin("py.getattr", lambda o, n: getattr(o, str(n))),
+    "dict": Builtin("py.dict", lambda *a: dict(*[matlab_to_py(x) for x in a])),
+    "list": Builtin("py.list", lambda *a: list(*[matlab_to_py(x) for x in a])),
+    "tuple": Builtin("py.tuple", lambda *a: tuple(*[matlab_to_py(x) for x in a])),
+    "str": Builtin("py.str", lambda x: str(matlab_to_py(x))),
+    "int": Builtin("py.int", lambda x: int(MatlabEngine._num(x))),
+    "float": Builtin("py.float", lambda x: float(MatlabEngine._num(x))),
+}
+
+
+def engine_stdout() -> str:
+    """Text fprintf'd to the MATLAB console so far (for tests)."""
+    return "".join(_FPRINTF_OUT)
+
+
+def to_python(v):
+    """MATLAB value -> plain Python/numpy (for test assertions)."""
+    if isinstance(v, MatArray):
+        return np.array(v.a)
+    if isinstance(v, MatCell):
+        return [to_python(x) for x in v.items]
+    return v
