@@ -60,6 +60,7 @@ class PoseEstimator:
         batch: int = 1,
         use_pallas: Optional[bool] = None,
         pack_u8: Optional[bool] = None,
+        device_rescale: bool = False,
     ):
         """``pair_cap``: transfer pair scores only for the first K peaks per
         part (raster order — identical to the reference for frames with
@@ -82,9 +83,17 @@ class PoseEstimator:
         # rebuild the padded canvases on device (bit-identical; default on
         # for multi-scale u8, where the padding bytes are ~43% of the
         # reference 3-scale payload on the H2D link)
+        # opt-in divergence: upload ONE largest-scale live region and derive
+        # smaller scales on device with INTER_AREA matmuls (multi-scale at
+        # single-scale upload bytes; pixels differ by resize-of-a-resize
+        # rounding — see preprocess.make_net_input_u8_base)
+        self.device_rescale = bool(device_rescale)
+        if self.device_rescale and not self.input_u8:
+            raise ValueError("device_rescale requires input_u8")
         if pack_u8 is None:
             pack_u8 = self.input_u8 and num_scales > 1
-        self.pack_u8 = bool(pack_u8) and self.input_u8
+        self.pack_u8 = (bool(pack_u8) and self.input_u8
+                        and not self.device_rescale)
         self.batch = int(batch)
         self._pair_cap = pair_cap
         if use_pallas is None:
@@ -176,7 +185,18 @@ class PoseEstimator:
             lowres_blob = self.lowres_blob
 
             pack_u8 = self.pack_u8
-            if input_u8 and not pack_u8:
+            device_rescale = self.device_rescale
+            if device_rescale:
+                from .preprocess import area_axis_matrix, packed_regions
+
+                dr_regs, _ = packed_regions(
+                    net_w, net_h, num_scales, start_scale, scale_gap)
+                th0, tw0 = dr_regs[0][0], dr_regs[0][1]
+                dr_mats = []  # per smaller scale: (Wy (thn,th0), Wx (twn,tw0))
+                for rh, rw, _, _, _ in dr_regs[1:]:
+                    dr_mats.append((jnp.asarray(area_axis_matrix(rh, th0)),
+                                    jnp.asarray(area_axis_matrix(rw, tw0))))
+            if input_u8 and not pack_u8 and not device_rescale:
                 from .preprocess import region_boxes
 
                 mask = np.zeros((num_scales, net_h, net_w, 1), np.float32)
@@ -191,7 +211,23 @@ class PoseEstimator:
                     net_w, net_h, num_scales, start_scale, scale_gap)
 
             def fn(params, image_phys, nms_threshold, inter_threshold):
-                if pack_u8:
+                if device_rescale:
+                    # one uploaded live region -> all scale canvases on
+                    # device.  Normalize first: the INTER_AREA matrices'
+                    # rows sum to 1, so resize commutes with the affine
+                    # u8/256-0.5 map and padding stays exactly 0.
+                    base = (image_phys.astype(jnp.float32)
+                            .reshape(th0, tw0, 3) / 256.0 - 0.5)
+                    canvases = []
+                    for (rh, rw, padh, padw, _), mats in zip(
+                            dr_regs, [None] + dr_mats):
+                        xf = base if mats is None else jnp.einsum(
+                            "ah,hwc,bw->abc", mats[0], base, mats[1])
+                        canvases.append(jnp.pad(
+                            xf, ((padh, net_h - padh - rh),
+                                 (padw, net_w - padw - rw), (0, 0))))
+                    image_phys = jnp.stack(canvases).astype(net.dtype)
+                elif pack_u8:
                     # flat live-region buffer -> normalized padded canvases:
                     # u8/256 - 0.5 inside the region, 0 padding — identical
                     # to process_and_pad_image (rtpose.cpp:258-263) on the
@@ -350,6 +386,11 @@ class PoseEstimator:
 
     def input_shape(self) -> Tuple[int, ...]:
         """Host-side transfer shape for ONE frame (no batch axis)."""
+        if self.device_rescale:
+            from .preprocess import scale_dims
+
+            tw, th = scale_dims(self.net_w, self.net_h, self.start_scale)
+            return (th * tw * 3,)
         if self.pack_u8:
             from .preprocess import packed_regions
 
@@ -367,8 +408,12 @@ class PoseEstimator:
     def make_input(self, display_bgr: np.ndarray) -> np.ndarray:
         """Display-res BGR frame -> this estimator's transfer format."""
         from .preprocess import (make_net_input, make_net_input_u8,
+                                 make_net_input_u8_base,
                                  make_net_input_u8_packed)
 
+        if self.device_rescale:
+            return make_net_input_u8_base(display_bgr, self.net_w, self.net_h,
+                                          self.start_scale)
         make = (make_net_input_u8_packed if self.pack_u8
                 else make_net_input_u8 if self.input_u8 else make_net_input)
         return make(display_bgr, self.net_w, self.net_h, self.num_scales,
@@ -431,7 +476,8 @@ class PoseEstimator:
             frame_bgr, self.net_w, self.net_h,
             disp_w=disp_w, disp_h=disp_h,
             num_scales=self.num_scales, start_scale=self.start_scale, scale_gap=self.scale_gap,
-            u8="packed" if self.pack_u8 else self.input_u8,
+            u8=("base" if self.device_rescale
+                else "packed" if self.pack_u8 else self.input_u8),
         )
         dw = disp_w if disp_w is not None else pf.display.shape[1]
         dh = disp_h if disp_h is not None else pf.display.shape[0]

@@ -169,6 +169,46 @@ def make_net_input_u8_packed(
     return out
 
 
+def area_axis_matrix(dst: int, src: int) -> np.ndarray:
+    """(dst, src) INTER_AREA weights for one axis (box-overlap / "pixel
+    area relation", the cv2 float path for arbitrary downscale ratios).
+    Row i averages src interval [i*src/dst, (i+1)*src/dst); rows sum to 1,
+    so the matrix commutes with the affine u8 -> x/256-0.5 normalize."""
+    if dst > src:
+        raise ValueError("area_axis_matrix is for downscale only")
+    r = src / float(dst)
+    m = np.zeros((dst, src), np.float32)
+    for i in range(dst):
+        lo, hi = i * r, (i + 1) * r
+        j0, j1 = int(math.floor(lo)), int(math.ceil(hi))
+        for j in range(j0, min(j1, src)):
+            m[i, j] = (min(j + 1, hi) - max(j, lo)) / r
+    return m
+
+
+def make_net_input_u8_base(
+    img_bgr: np.ndarray,
+    net_w: int,
+    net_h: int,
+    start_scale: float = 1.0,
+) -> np.ndarray:
+    """Device-rescale transfer format: ONE flat u8 buffer of the LARGEST
+    scale's live region; the device derives every smaller scale from it
+    with INTER_AREA matmuls (area_axis_matrix) and zero-pads the canvases.
+
+    Documented divergence vs the reference (opt-in, --device_rescale):
+    the reference resizes the display frame independently per scale
+    (rtpose.cpp:508-518); deriving scale n from the scale-0 canvas is a
+    resize-of-a-resize, so pixels differ at the level of interpolation
+    rounding (~1-2 u8 levels), in exchange for a multi-scale upload that
+    costs the same bytes as single-scale."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV unavailable")
+    tw, th = scale_dims(net_w, net_h, start_scale)
+    resized = cv2.resize(img_bgr, (tw, th), interpolation=cv2.INTER_AREA)
+    return np.ascontiguousarray(resized.reshape(-1))
+
+
 @dataclass
 class PreprocessedFrame:
     net_input: np.ndarray  # (S, 3, net_h, net_w)
@@ -200,9 +240,12 @@ def preprocess_frame(
         scale = 1.0
     else:
         display, scale = warp_to_display(img_bgr, disp_w, disp_h)
-    make = (make_net_input_u8_packed if u8 == "packed"
-            else make_net_input_u8 if u8 else make_net_input)
-    net_input = make(display, net_w, net_h, num_scales, start_scale, scale_gap)
+    if u8 == "base":
+        net_input = make_net_input_u8_base(display, net_w, net_h, start_scale)
+    else:
+        make = (make_net_input_u8_packed if u8 == "packed"
+                else make_net_input_u8 if u8 else make_net_input)
+        net_input = make(display, net_w, net_h, num_scales, start_scale, scale_gap)
     return PreprocessedFrame(
         net_input=net_input, display=display, scale=scale, ori_width=ori_w, ori_height=ori_h
     )

@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(logged), so results are always exact (0 = uncapped)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="(extension) CNN compute dtype")
+    p.add_argument("--device_rescale", action="store_true",
+                   help="(extension, documented divergence) multi-scale: "
+                        "upload only the largest scale and derive smaller "
+                        "scales on device with INTER_AREA matmuls — "
+                        "multi-scale at single-scale upload bytes; pixels "
+                        "differ by resize-of-a-resize rounding")
     p.add_argument("--no_weights", action="store_true",
                    help="(extension) run with random-initialized weights")
     return p
@@ -82,6 +88,10 @@ def main(argv=None) -> int:
         print(f"warning: caffemodel {args.caffemodel!r} not found; "
               "running with random weights", file=sys.stderr)
 
+    if args.device_rescale and args.part_to_show > 0:
+        print("error: --device_rescale needs the u8 fast path "
+              "(incompatible with --part_to_show heatmap views)", file=sys.stderr)
+        return 2
     if args.pair_cap < 0:
         print("error: --pair_cap must be >= 0", file=sys.stderr)
         return 2
@@ -118,6 +128,7 @@ def main(argv=None) -> int:
         keep_heatmap=args.part_to_show > 0,
         input_u8=args.part_to_show == 0,
         pair_cap=args.pair_cap or None,
+        device_rescale=args.device_rescale,
     )
     cfg = PipelineConfig(
         video=args.video, camera=args.camera, image_dir=args.image_dir,

@@ -282,7 +282,10 @@ class TestDbBackend:
         assert len(src) == 1
         got_img, got_meta, _ = src[0]
         np.testing.assert_array_equal(got_img, img)
-        assert got_meta.main.joints.shape == (18, 2)
+        # TransformJoints np==56 resizes joints to np with the first 18
+        # filled, like the reference (training/joints.py)
+        assert got_meta.main.joints.shape == (56, 2)
+        assert np.abs(got_meta.main.joints[:18]).sum() > 0
 
 
 def test_convert_imageset_leveldb_backend(tmp_path, capsys):

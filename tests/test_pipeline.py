@@ -378,7 +378,9 @@ class TestRealtimeLatencyKnobs:
         assert pipe.run() == 3
         assert len(os.listdir(out)) == 3
         # every frame e2e latency well under a full batch-fill stall
-        assert all(s["e2e"] < 5.0 for s in pipe.stats)
+        # (generous bound: absorbs host contention when the whole suite
+        # runs in parallel; the stall being guarded against is unbounded)
+        assert all(s["e2e"] < 10.0 for s in pipe.stats)
 
     def test_drop_policy_counts_dropped_frames(self):
         """With the 0.1 s drop policy active and a deliberately slow
