@@ -116,9 +116,13 @@ class _Blob:
         return self._shape[1] if len(self._shape) > 1 else 1
 
     def reshape(self, *shape):
-        self._shape = tuple(shape)
+        self._shape = tuple(int(d) for d in shape)
         self.data = np.zeros(self._shape, np.float32)
         self.diff = np.zeros(self._shape, np.float32)
+
+    def reshape_dims(self, dims) -> None:
+        """reshape() taking one sequence — used by the MATLAB bridge."""
+        self.reshape(*[int(d) for d in np.asarray(dims).reshape(-1)])
 
 
 class Net:
@@ -133,6 +137,15 @@ class Net:
         facades."""
         if weights in (TRAIN, TEST):  # Net(proto, phase) signature
             phase, weights = weights, None
+        if isinstance(prototxt, _CoreNet):
+            # facade over an EXISTING core net (shared params) — the
+            # matcaffe Solver exposes its train/test nets this way, like
+            # the reference's construct-from-handle path (Net.m there)
+            self._proto, self._phase, self._kw = None, prototxt.phase, {}
+            self._fetch_all = bool(fetch_all_blobs)
+            self._net = prototxt
+            self._init_facades()
+            return
         if _default_seed is not None and "seed" not in kw:
             kw["seed"] = _next_net_seed()  # caffe.set_random_seed stream
         # pycaffe's Net ctor forwards level (default 0) into the
@@ -142,6 +155,11 @@ class Net:
         self._proto, self._phase, self._kw = prototxt, phase, dict(kw)
         self._fetch_all = bool(fetch_all_blobs)
         self._net = _CoreNet(prototxt, phase=phase, **kw)
+        self._init_facades()
+        if weights:
+            self.copy_from(weights)
+
+    def _init_facades(self) -> None:
         self.blobs: "OrderedDict[str, _Blob]" = OrderedDict()
         for name, info in self._net.blob_infos.items():
             self.blobs[name] = _Blob(info.shape_caffe)
@@ -154,8 +172,6 @@ class Net:
                     b.data = np.array(pi.export_caffe(np.asarray(arr))).reshape(pi.caffe_shape).copy()
                     blobs.append(b)
                 self.params[impl.name] = blobs
-        if weights:
-            self.copy_from(weights)
 
     # ------------------------------------------------------------- pycaffe
 
@@ -219,6 +235,9 @@ class Net:
         old = self._net
         if all(shapes[n] == old.blob_infos[n].shape_caffe for n in shapes):
             return
+        if self._proto is None:
+            raise RuntimeError("cannot reshape a facade over a solver-owned "
+                               "net (no source prototxt to rebuild from)")
         kw = dict(self._kw)
         kw["input_shapes"] = {**kw.get("input_shapes", {}), **shapes}
         self._push_params()
@@ -247,6 +266,14 @@ class Net:
         """Write user edits of net.params[...][i].data back to the runtime."""
         import jax.numpy as jnp
 
+        if self._proto is None:
+            # facade over a live core net (matcaffe solver.net): the core is
+            # authoritative — a training step updates it behind the facade,
+            # so pushing the facade's snapshot would clobber learned
+            # weights.  Pull instead; param edits go through the owning
+            # solver/core net on this path.
+            self._refresh_params()
+            return
         for name, blobs in self.params.items():
             impl = self._net.layer_by_name[name]
             self._net.params[name] = [
@@ -281,6 +308,10 @@ class Net:
         """forward() taking a plain dict — used by the MATLAB bridge
         (matlab/+caffe/Net.m), where **kwargs cannot be expressed."""
         return self.forward(blobs=blobs, **{str(k): np.asarray(v) for k, v in inputs.items()})
+
+    def backward_dict(self, top_diffs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """backward() taking a plain dict — used by the MATLAB bridge."""
+        return self.backward(**{str(k): np.asarray(v) for k, v in top_diffs.items()})
 
     def backward(self, **top_diffs) -> Dict[str, np.ndarray]:
         """Gradients of sum(top * top_diff) wrt graph inputs and params;
@@ -644,9 +675,53 @@ def draw_net_dot(net_param: dict) -> str:
     return "\n".join(lines)
 
 
+class _PySolver:
+    """pycaffe/matcaffe Solver facade over the training Solver: step/solve/
+    iter/snapshot/restore plus .net and .test_nets exposed as api.Net
+    facades (reference matlab/+caffe/Solver.m surface)."""
+
+    def __init__(self, solver):
+        self._solver = solver
+        self.net = Net(solver.net)
+        self.test_nets = [Net(tn[0]) for tn in solver.test_nets]
+
+    @property
+    def iter(self) -> int:
+        return self._solver.iter
+
+    def step(self, iters: int = 1):
+        return self._solver.step(int(iters))
+
+    def solve(self) -> None:
+        self._solver.solve()
+
+    def snapshot(self, prefix=None):
+        return self._solver.snapshot(prefix)
+
+    def restore(self, path: str) -> None:
+        self._solver.restore(path)
+
+
+def _self_feed(net):
+    """Default data_fn for nets that feed themselves (or need nothing)."""
+    if net.data_layers:
+        def data_fn(it):
+            out = {}
+            for dl in net.data_layers:
+                out.update(dl.next_batch())
+            return out
+        return data_fn
+    if not net.input_names:
+        return lambda it: {}
+    return None
+
+
 def SGDSolver(solver_file: str, data_fn=None):
     """pycaffe-style solver constructor; ``data_fn(it) -> {input: array}``
-    feeds the graph inputs (data layers are external in this framework)."""
+    feeds the graph inputs (data layers are external in this framework).
+    Test nets are built from the solver param (test_net files or the shared
+    net at TEST phase, per-net test_iter — Solver::Init semantics) when
+    they can feed themselves."""
     from .proto import caffe_pb, prototxt
     from .training.solver import Solver
 
@@ -655,21 +730,22 @@ def SGDSolver(solver_file: str, data_fn=None):
     net_src = sp.net if sp.has("net") else sp.train_net
     net = _CoreNet(net_src, phase=TRAIN)
     if data_fn is None:
-        if net.data_layers:
-            # the prototxt carries its own data layers: self-feed like caffe
-            def data_fn(it):
-                out = {}
-                for dl in net.data_layers:
-                    out.update(dl.next_batch())
-                return out
-        elif not net.input_names:
-            # no external inputs (e.g. DummyData nets): nothing to feed
-            def data_fn(it):
-                return {}
-        else:
+        data_fn = _self_feed(net)
+        if data_fn is None:
             def data_fn(it):
                 raise RuntimeError("provide data_fn to feed the net inputs")
-    return Solver(msg, net, data_fn)
+    test_nets = []
+    if sp.has("test_interval") and int(sp.test_interval) > 0:
+        iters = [int(v) for v in sp.test_iter] or [50]
+        sources = list(sp.test_net) or ([net_src] if not sp.has("test_net") else [])
+        for i, src in enumerate(sources):
+            tnet = _CoreNet(src, phase=TEST)
+            # contract of Solver.test: fn=None lets in-graph data layers
+            # self-feed; nets needing external data cannot be driven here
+            fn = None if (tnet.data_layers or not tnet.input_names) \
+                else (lambda it: {})
+            test_nets.append((tnet, fn, iters[min(i, len(iters) - 1)]))
+    return _PySolver(Solver(msg, net, data_fn, test_nets=test_nets))
 
 
 AdamSolver = NesterovSolver = AdaGradSolver = RMSPropSolver = AdaDeltaSolver = SGDSolver

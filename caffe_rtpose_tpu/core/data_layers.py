@@ -45,6 +45,24 @@ def read_mean_binaryproto(path: str) -> np.ndarray:
     return data.reshape(shape[-3:])
 
 
+def write_mean_binaryproto(path: str, mean_chw: np.ndarray) -> None:
+    """(C, H, W) float32 mean -> .binaryproto BlobProto, the inverse of
+    read_mean_binaryproto (compute_image_mean.cpp output format; used by
+    matcaffe caffe.io.write_mean)."""
+    from ..proto.wire import encode
+
+    m = np.asarray(mean_chw, np.float32)
+    if m.ndim != 3:
+        raise ValueError("mean must be (C, H, W)")
+    msg = {
+        "num": 1, "channels": int(m.shape[0]),
+        "height": int(m.shape[1]), "width": int(m.shape[2]),
+        "data": [float(v) for v in m.flat],
+    }
+    with open(path, "wb") as f:
+        f.write(encode(msg, caffe_pb.SCHEMA, "BlobProto"))
+
+
 class StandardTransformer:
     """crop/mirror/mean/scale chain (data_transformer.cpp:57-220)."""
 

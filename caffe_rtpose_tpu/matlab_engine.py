@@ -197,6 +197,7 @@ class Parser:
         props: List[str] = []
         methods: Dict[str, tuple] = {}
         static: set = set()
+        tests: set = set()
         while not (self.peek().kind == "kw" and self.peek().val == "end"):
             t = self.next()
             if t.kind == "kw" and t.val == "properties":
@@ -212,19 +213,22 @@ class Parser:
             elif t.kind == "kw" and t.val == "methods":
                 attrs = self.parse_attrs()
                 is_static = "Static" in attrs
+                is_test = "Test" in attrs
                 self.skip_terms()
                 while self.peek().kind == "kw" and self.peek().val == "function":
                     f = self.parse_function()
                     methods[f[1]] = f
                     if is_static:
                         static.add(f[1])
+                    if is_test:
+                        tests.add(f[1])
                     self.skip_terms()
                 self.expect_kw("end")
                 self.skip_terms()
             else:
                 raise MatlabError(f"unexpected in classdef: {t!r}")
         self.next()  # end
-        return ("classdef", name, bases, props, methods, static)
+        return ("classdef", name, bases, props, methods, static, tests)
 
     def parse_function(self):
         self.expect_kw("function")
@@ -519,10 +523,16 @@ class MatCell:
 
 
 class MatClass:
-    def __init__(self, name, bases, props, methods, static, engine, pkg):
+    def __init__(self, name, bases, props, methods, static, engine, pkg,
+                 tests=None):
         self.name, self.bases = name, bases
         self.props, self.methods, self.static = props, methods, static
+        self.tests = tests or set()
         self.engine, self.pkg = engine, pkg
+
+    @property
+    def is_testcase(self) -> bool:
+        return any("unittest" in b for b in self.bases)
 
 
 class MatObject:
@@ -587,6 +597,40 @@ class Package:
 class PyRoot:
     """The MATLAB ``py.`` namespace."""
     pass
+
+
+class _ContainersNS:
+    """The MATLAB ``containers.`` namespace (Map only)."""
+    pass
+
+
+class MatMap:
+    """containers.Map over string keys; m(key) reads, m(key) = v writes."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, keys=None, vals=None):
+        self.d: Dict[str, Any] = {}
+        if keys is not None:
+            ks = keys.items if isinstance(keys, MatCell) else [keys]
+            if isinstance(vals, MatCell):
+                vs = vals.items
+            elif isinstance(vals, MatArray):
+                vs = [MatlabEngine._scalarize(x)
+                      for x in vals.a.reshape(-1, order="F")]
+            else:
+                vs = [vals]
+            if len(ks) != len(vs):
+                raise MatlabError("containers.Map: keys/values length mismatch")
+            for k, v in zip(ks, vs):
+                if not isinstance(k, str):
+                    raise MatlabError("containers.Map: only string keys supported")
+                self.d[k] = v
+
+    def get(self, key):
+        if not isinstance(key, str) or key not in self.d:
+            raise MatlabError(f"containers.Map: no key {key!r}")
+        return self.d[key]
 
 
 class PyModuleRef:
@@ -674,6 +718,26 @@ class MatlabEngine:
         self._files: Dict[str, int] = {}  # open file handles
         self._next_fid = 3
         self.stdout: List[str] = []
+        # engine-bound builtins (need self): the matlab.unittest test runner
+        self._engine_builtins: Dict[str, Builtin] = {
+            "run": Builtin("run", self._run_testcase),
+        }
+
+    def _run_testcase(self, cls) -> str:
+        """run(caffe.test.test_x): construct the TestCase, invoke every
+        method declared in a ``methods (Test)`` block, report pass/fail.
+        A failed verification raises MatlabError out of run() — test
+        failures must fail run_tests(), like the reference runner."""
+        if not isinstance(cls, MatClass) or not cls.is_testcase:
+            raise MatlabError("run() expects a matlab.unittest.TestCase class")
+        obj = self.construct(cls, [])
+        passed = []
+        for name in sorted(cls.tests):
+            self.call_function(cls.methods[name], [], self_obj=obj)
+            passed.append(name)
+        summary = f"{cls.name}: {len(passed)}/{len(cls.tests)} passed"
+        _FPRINTF_OUT.append(summary + "\n")
+        return summary
 
     # ---- loading
     def _load_mfile(self, path: str, pkg: Package):
@@ -682,12 +746,12 @@ class MatlabEngine:
         node = Parser(tokenize(src)).parse_file()
         base = os.path.splitext(os.path.basename(path))[0]
         if node[0] == "classdef":
-            _, name, bases, props, methods, static = node
+            _, name, bases, props, methods, static, tests = node
             if name != base:
                 raise MatlabError(f"classdef {name} in {base}.m")
             return MatClass(name, bases, props,
                             {k: MatFunction(v, self, pkg) for k, v in methods.items()},
-                            static, self, pkg)
+                            static, self, pkg, tests=tests)
         funcs = node[1]
         main = None
         for f_node in funcs:
@@ -775,13 +839,8 @@ class MatlabEngine:
         obj = MatObject(cls)
         env: Dict[str, Any] = {}
         params = list(ctor.params)
-        nargin = len(args) + 1  # self counts? no: MATLAB ctor nargin = user args
         nargin = len(args)
-        for i, a in enumerate(args):
-            if i + 1 < len(params) + 1 and i < len(params) - 1 or True:
-                pass
-        # bind: first param is the output 'self'? No — constructor params are
-        # the user args; out_var is the object.
+        # constructor params are the user args; out_var is the object
         if params and params[-1] == "varargin":
             fixed = params[:-1]
             for i, p in enumerate(fixed):
@@ -991,7 +1050,13 @@ class MatlabEngine:
                 return not self._truth(v)
         if tag == "field":
             base = self.eval(e[1], env, pkg)
-            return self._getfield(base, e[2], env, pkg)
+            v = self._getfield(base, e[2], env, pkg)
+            # MATLAB invokes a zero-arg method on dot-access in value
+            # context (obj.shape); explicit calls never reach here — the
+            # call node's field base is resolved in _eval_call instead
+            if isinstance(v, BoundMethod):
+                return self.call_function(v, [])
+            return v
         if tag == "dynfield":
             base = self.eval(e[1], env, pkg)
             name = self.eval(e[2], env, pkg)
@@ -1017,6 +1082,10 @@ class MatlabEngine:
             return False
         if name == "pi":
             return math.pi
+        if name == "containers":
+            return _ContainersNS()
+        if name in self._engine_builtins:
+            return self._engine_builtins[name]
         if name in self.packages:
             return self.packages[name]
         if pkg is not None:
@@ -1102,6 +1171,10 @@ class MatlabEngine:
             if name in _PY_SPECIAL:
                 return _PY_SPECIAL[name]
             return PyModuleRef((name,))
+        if isinstance(base, _ContainersNS):
+            if name == "Map":
+                return Builtin("containers.Map", lambda *a: MatMap(*a))
+            raise MatlabError(f"containers.{name} not supported")
         if isinstance(base, PyModuleRef):
             try:
                 return getattr(base.resolve(), name)
@@ -1122,6 +1195,11 @@ class MatlabEngine:
             m = base.cls.methods.get(name)
             if m is not None:
                 return BoundMethod(base, m)
+            if base.cls.is_testcase and name in ("verifyEqual", "verifyTrue"):
+                # matlab.unittest.TestCase verification surface
+                if name == "verifyTrue":
+                    return Builtin(name, lambda c: _verify_true(c))
+                return Builtin(name, lambda a, b: _verify_equal(a, b))
             raise MatlabError(f"no property/method {name} on {base.cls.name}")
         # python object
         return getattr(base, name)
@@ -1145,6 +1223,9 @@ class MatlabEngine:
         if base_e[0] == "ident":
             name = base_e[1]
             if name not in env:
+                if name in self._engine_builtins:
+                    args = [self.eval(a, env, pkg) for a in arg_es]
+                    return self._engine_builtins[name].fn(*args)
                 if name in BUILTINS:
                     args = [self.eval(a, env, pkg) for a in arg_es]
                     return BUILTINS[name].fn(*args)
@@ -1178,6 +1259,10 @@ class MatlabEngine:
                 if not isinstance(target, MatClass) else self.construct(target, args)
         if isinstance(target, MatObjArray):
             return target.items[self._int_index(args) - 1]
+        if isinstance(target, MatMap):
+            if len(args) != 1:
+                raise MatlabError("Map lookup takes one key")
+            return target.get(args[0])
         if isinstance(target, MatArray):
             return self._array_index(target, args)
         if isinstance(target, MatCell):
@@ -1478,11 +1563,7 @@ def _b_exist(path, kind=None):
 
 
 def _b_isequal(a, b):
-    if isinstance(a, MatArray) and isinstance(b, MatArray):
-        return a.a.shape == b.a.shape and bool(np.array_equal(a.a, b.a))
-    if isinstance(a, str) or isinstance(b, str):
-        return a == b
-    return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+    return _values_equal(a, b)
 
 
 def _b_max(a, b=None):
@@ -1496,26 +1577,57 @@ def _b_max(a, b=None):
 
 
 def _b_rand(*dims):
-    shape = [int(MatlabEngine._num(d)) for d in dims] or [1]
-    if len(shape) == 1:
-        shape = [shape[0], shape[0]]
+    shape, dtype = _dims_from_args(dims)
     # column-major fill to mirror MATLAB's element order
     n = int(np.prod(shape))
-    return MatArray(np.random.rand(n).reshape(shape, order="F"))
+    return MatArray(np.random.rand(n).reshape(shape, order="F").astype(dtype))
+
+
+def _b_randi(imax, *dims):
+    hi = int(MatlabEngine._num(imax))
+    shape, dtype = _dims_from_args(dims)
+    n = int(np.prod(shape))
+    vals = np.random.randint(1, hi + 1, size=n).astype(dtype)
+    return MatArray(vals.reshape(shape, order="F"))
 
 
 def _b_ones(*dims):
-    shape = [int(MatlabEngine._num(d)) for d in dims] or [1, 1]
-    if len(shape) == 1:
-        shape = [shape[0], shape[0]]
-    return MatArray(np.ones(shape))
+    shape, dtype = _dims_from_args(dims)
+    return MatArray(np.ones(shape, dtype))
 
 
 def _b_zeros(*dims):
-    shape = [int(MatlabEngine._num(d)) for d in dims] or [1, 1]
-    if len(shape) == 1:
-        shape = [shape[0], shape[0]]
-    return MatArray(np.zeros(shape))
+    shape, dtype = _dims_from_args(dims)
+    return MatArray(np.zeros(shape, dtype))
+
+
+def _b_length(x):
+    if isinstance(x, (MatCell,)):
+        return float(len(x.items))
+    if isinstance(x, MatObjArray):
+        return float(len(x.items))
+    if isinstance(x, str):
+        return float(len(x))
+    a = _as_mat(x).a
+    return 0.0 if a.size == 0 else float(max(a.shape))
+
+
+def _b_isscalar(x):
+    if isinstance(x, (int, float, bool, np.integer, np.floating)):
+        return True
+    return isinstance(x, MatArray) and x.a.size == 1
+
+
+def _b_isnumeric(x):
+    if isinstance(x, (bool, np.bool_)):
+        return False  # MATLAB: logical is not numeric
+    return isinstance(x, (int, float, np.integer, np.floating)) or \
+        isinstance(x, MatArray)
+
+
+def _b_num2str(x):
+    v = MatlabEngine._num(x)
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
 
 
 def _b_fliplr(x):
@@ -1543,6 +1655,55 @@ def _b_error(*args):
     raise MatlabError(_format_fprintf(args[0], args[1:]) if args else "error")
 
 
+def _values_equal(a, b) -> bool:
+    """MATLAB isequal/verifyEqual value comparison (class-insensitive for
+    numerics, like isequal; cells compare recursively)."""
+    if isinstance(a, MatCell) or isinstance(b, MatCell):
+        if not (isinstance(a, MatCell) and isinstance(b, MatCell)):
+            return False
+        return len(a.items) == len(b.items) and all(
+            _values_equal(x, y) for x, y in zip(a.items, b.items))
+    if isinstance(a, str) or isinstance(b, str):
+        return a == b
+    an = a.a if isinstance(a, MatArray) else np.array([[MatlabEngine._num(a)]])
+    bn = b.a if isinstance(b, MatArray) else np.array([[MatlabEngine._num(b)]])
+    # a 1x1 MatArray equals a scalar; otherwise shapes must match
+    if an.size == 1 and bn.size == 1:
+        return float(an.reshape(-1)[0]) == float(bn.reshape(-1)[0])
+    return an.shape == bn.shape and bool(np.array_equal(
+        an.astype(np.float64), bn.astype(np.float64)))
+
+
+def _verify_equal(a, b):
+    if not _values_equal(a, b):
+        raise MatlabError(f"verifyEqual failed: {a!r} != {b!r}")
+    return None
+
+
+def _verify_true(cond):
+    if not _truth_static(cond):
+        raise MatlabError("verifyTrue failed")
+    return None
+
+
+def _dims_from_args(dims, default=(1, 1)):
+    """MATLAB size args: scalars, a single size vector, or nothing; a
+    trailing class string ('single'/'double') selects dtype."""
+    dtype = np.float64
+    dd = list(dims)
+    if dd and isinstance(dd[-1], str):
+        dtype = {"single": np.float32, "double": np.float64}[dd.pop()]
+    if not dd:
+        shape = list(default)
+    elif len(dd) == 1 and isinstance(dd[0], MatArray) and dd[0].a.size > 1:
+        shape = [int(v) for v in dd[0].a.reshape(-1, order="F")]
+    else:
+        shape = [int(MatlabEngine._num(d)) for d in dd]
+        if len(shape) == 1:
+            shape = [shape[0], shape[0]]
+    return shape, dtype
+
+
 BUILTINS: Dict[str, Builtin] = {name: Builtin(name, fn) for name, fn in {
     "numel": _b_numel,
     "ndims": _b_ndims,
@@ -1566,8 +1727,15 @@ BUILTINS: Dict[str, Builtin] = {name: Builtin(name, fn) for name, fn in {
     "isequal": _b_isequal,
     "max": _b_max,
     "rand": _b_rand,
+    "randi": _b_randi,
     "ones": _b_ones,
     "zeros": _b_zeros,
+    "length": _b_length,
+    "isscalar": _b_isscalar,
+    "isnumeric": _b_isnumeric,
+    "iscell": lambda x: isinstance(x, MatCell),
+    "isstruct": lambda x: False,
+    "num2str": _b_num2str,
     "fliplr": _b_fliplr,
     "int32": _b_int32,
     "upper": lambda s: s.upper(),

@@ -18,13 +18,20 @@ classdef Blob < handle
       s = fliplr(s);  % caffe N-C-H-W -> matcaffe W-H-C-N
     end
 
+    function reshape(self, shape)
+      % matcaffe shape (W-H-C-N row vector) -> caffe N-C-H-W
+      caffe.private.CHECK(isnumeric(shape), 'shape must be numeric');
+      self.pyblob.reshape_dims(fliplr(double(shape)));
+    end
+
     function data = get_data(self)
       data = caffe.private.py2mat(self.pyblob.data);
     end
 
     function set_data(self, data)
+      caffe.private.CHECK(isnumeric(data), 'data must be numeric');
       nd = double(py.len(self.pyblob.shape));
-      self.pyblob.data = caffe.private.mat2py(data, nd);
+      self.pyblob.data = caffe.private.mat2py(single(data), nd);
     end
 
     function diff = get_diff(self)
@@ -32,8 +39,9 @@ classdef Blob < handle
     end
 
     function set_diff(self, diff)
+      caffe.private.CHECK(isnumeric(diff), 'diff must be numeric');
       nd = double(py.len(self.pyblob.shape));
-      self.pyblob.diff = caffe.private.mat2py(diff, nd);
+      self.pyblob.diff = caffe.private.mat2py(single(diff), nd);
     end
   end
 end

@@ -127,14 +127,15 @@ class TestNetClass:
         net_m = eng.call("caffe.get_net", tiny_proto, "test")
         assert to_python(net_m.props["inputs"]) == ["x"]
         assert to_python(net_m.props["outputs"]) == ["y"]
-        blob = eng.call_method(net_m, "blob", "y")
+        assert to_python(net_m.props["blob_names"]) == ["x", "y"]
+        blob = eng.call_method(net_m, "blobs", "y")
         shape = to_python(eng.call_method(blob, "shape"))
         # caffe N-C-H-W (2,2,4,5) -> matcaffe W-H-C-N
         np.testing.assert_array_equal(shape.reshape(-1), [5, 4, 2, 2])
 
     def test_blob_set_get_round_trip(self, eng, tiny_proto):
         net_m = eng.call("caffe.get_net", tiny_proto, "test")
-        blob = eng.call_method(net_m, "blob", "x")
+        blob = eng.call_method(net_m, "blobs", "x")
         data = np.random.RandomState(4).rand(5, 4, 3, 2).astype(np.float32)
         eng.call_method(blob, "set_data", MatArray(data))
         out = to_python(eng.call_method(blob, "get_data"))
@@ -142,12 +143,16 @@ class TestNetClass:
 
     def test_layer_access(self, eng, tiny_proto):
         net_m = eng.call("caffe.get_net", tiny_proto, "test")
-        layer = eng.call_method(net_m, "layer", "c")
+        layer = eng.call_method(net_m, "layers", "c")
         assert eng.call_method(layer, "type") == "Convolution"
         params = layer.props["params"]
         assert len(params.items) == 2  # weight + bias
         wshape = to_python(eng.call_method(params.items[0], "shape"))
         np.testing.assert_array_equal(wshape.reshape(-1), [3, 3, 3, 2])
+        # net.params(layer, i) — the reference accessor
+        w2 = eng.call_method(net_m, "params", "c", 1.0)
+        np.testing.assert_array_equal(
+            to_python(eng.call_method(w2, "shape")).reshape(-1), [3, 3, 3, 2])
 
 
 class TestSolverClass:
@@ -194,8 +199,12 @@ class TestIoAndRunTests:
             out, np.transpose(img, (1, 0, 2)).astype(np.float32), atol=1e-3)
 
     def test_run_tests_end_to_end(self, eng):
-        """caffe.run_tests: the M-file's own smoke (tempfile prototxt ->
-        get_net -> forward -> size assert) passes under the engine."""
+        """caffe.run_tests: the full matcaffe test suite — the clean-room
+        ports of the reference's +test classes (net blob/layer/param
+        access, forward/backward, save+copy_from, solver with test nets,
+        io mean round-trip) — passes under the engine."""
         res = eng.call("caffe.run_tests")
-        assert res == "matcaffe bridge OK"
+        assert "test_net: 5/5 passed" in res
+        assert "test_solver: 2/2 passed" in res
+        assert "test_io: 1/1 passed" in res
         assert "caffe version" in engine_stdout()
