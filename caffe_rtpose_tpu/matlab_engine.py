@@ -715,9 +715,6 @@ class MatlabEngine:
             if entry.startswith("+"):
                 self.packages[entry[1:]] = Package(
                     self, os.path.join(matlab_root, entry), entry[1:])
-        self._files: Dict[str, int] = {}  # open file handles
-        self._next_fid = 3
-        self.stdout: List[str] = []
         # engine-bound builtins (need self): the matlab.unittest test runner
         self._engine_builtins: Dict[str, Builtin] = {
             "run": Builtin("run", self._run_testcase),
@@ -1008,6 +1005,10 @@ class MatlabEngine:
     # ---- expression evaluation
     def eval(self, e, env, pkg):
         tag = e[0]
+        if tag == "colonall":
+            # the magic ':' marker survives argument re-evaluation in
+            # _eval_call/_array_index
+            return ("colonall",)
         if tag == "num":
             return e[1]
         if tag == "str":
@@ -1067,8 +1068,6 @@ class MatlabEngine:
             return self._brace_index(base, idx)
         if tag == "call":
             return self._eval_call(e, env, pkg)
-        if tag == "colonall":
-            raise MatlabError("':' outside indexing")
         raise MatlabError(f"unknown expr {tag}")
 
     def _lookup(self, name, env, pkg):
@@ -1301,21 +1300,6 @@ class MatlabEngine:
                                  for s in sels):
             return self._scalarize(out.reshape(-1)[0])
         return MatArray(out)
-
-    # evaluation of index args must preserve the colonall marker
-    # (handled via eval returning the marker) — patch eval for colonall:
-
-
-# colonall handling: inside _eval_call/_array_index we re-evaluate args,
-# so make eval return the marker itself
-_orig_eval = MatlabEngine.eval
-
-def _eval_with_colon(self, e, env, pkg):
-    if e[0] == "colonall":
-        return ("colonall",)
-    return _orig_eval(self, e, env, pkg)
-
-MatlabEngine.eval = _eval_with_colon
 
 
 # =============================================================== builtins
