@@ -27,40 +27,41 @@ def main():
     frames = [(rs.rand(720, 1280, 3) * 255).astype(np.uint8) for _ in range(4)]
 
     ests = {}
-    for packed in (True, False):
-        ests[packed] = PoseEstimator(
+    configs = ["canvases", "packed", "device_rescale"]
+    for name in configs:
+        ests[name] = PoseEstimator(
             COCO_PROTO, net_resolution=(656, 368), num_scales=3,
             start_scale=1.0, scale_gap=0.15, dtype=jnp.bfloat16, seed=0,
-            input_u8=True, pair_cap=32, batch=8, pack_u8=packed)
-        print(f"packed={packed}: upload {np.prod(ests[packed].input_shape())/1e3:.0f} KB/frame",
+            input_u8=True, pair_cap=32, batch=8,
+            pack_u8=name == "packed",
+            device_rescale=name == "device_rescale")
+        print(f"{name}: upload {np.prod(ests[name].input_shape())/1e3:.0f} KB/frame",
               flush=True)
 
-    def one(packed, n=96):
+    def one(name, n=96):
         cfg = PipelineConfig(
             resolution=(1280, 720), net_resolution=(656, 368), num_scales=3,
             start_scale=1.0, scale_gap=0.15,
             no_frame_drops=True, no_display=True, frame_limit=n,
             fetchers=6, dispatchers=2, queue_depth=8)
-        pipe = RtPosePipeline(ests[packed], cfg)
+        pipe = RtPosePipeline(ests[name], cfg)
         pipe.frame_iter = synthetic_source(frames, n)
         pipe.run()
         return round(pipe.fps, 2)
 
-    for packed in (True, False):  # compile warmup
-        one(packed, n=16)
-    results = {True: [], False: []}
+    for name in configs:  # compile warmup
+        one(name, n=16)
+    results = {name: [] for name in configs}
     for rep in range(3):
-        for packed in (True, False):
-            f = one(packed)
-            results[packed].append(f)
-            print(json.dumps({"packed": packed, "fps": f, "rep": rep}), flush=True)
+        for name in configs:
+            f = one(name)
+            results[name].append(f)
+            print(json.dumps({"config": name, "fps": f, "rep": rep}), flush=True)
             time.sleep(2)
     print(json.dumps({
         "metric": "pose_fps_656x368_3scale",
-        "packed_best": max(results[True]),
-        "canvases_best": max(results[False]),
-        "packed_all": results[True],
-        "canvases_all": results[False],
+        **{f"{name}_best": max(results[name]) for name in configs},
+        "all": results,
     }), flush=True)
 
 
