@@ -22,6 +22,7 @@ from .core import net_spec  # noqa: F401  (caffe.net_spec parity)
 from .core.net import Net as _CoreNet
 from .core.net_spec import L as layers  # noqa: F401  (caffe.layers parity)
 from .core.net_spec import NetSpec  # noqa: F401
+from .core.net_spec import params  # noqa: F401  (caffe.params / P parity)
 from .ops import layout
 
 TRAIN = "TRAIN"

@@ -87,6 +87,8 @@ def coord_map_from_to(net, top: str, bottom: str) -> Tuple[float, float]:
     from ``top`` back to ``bottom`` (coord_map.py:coord_map_from_to)."""
     a, b = 1.0, 0.0
     blob = top
+    if not hasattr(net, "layer_views"):  # api.Net facade -> core net
+        net = net._net
     # scan layers in reverse topological (= prototxt) order so in-place
     # chains (ReLU top == bottom) unwind correctly
     for lv in reversed(net.layer_views):

@@ -436,6 +436,9 @@ def build_python(ctx: BuildCtx) -> LayerImpl:
     cls = getattr(mod, pp.layer)
     inst = cls()
     inst.param_str = pp.param_str
+    # pycaffe sets .phase on Python layers (python_layer.hpp phase_;
+    # caffe.TRAIN == 0, caffe.TEST == 1)
+    inst.phase = 0 if ctx.phase == "TRAIN" else 1
 
     caffe_bots = []
     for bi in ctx.bottoms:

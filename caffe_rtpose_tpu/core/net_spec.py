@@ -103,6 +103,11 @@ class _LayerFactory:
     def __getattr__(self, type_name: str):
         def make(*inputs, **params):
             layer = _Layer(type_name, inputs, params)
+            if layer.ntop == 0:
+                # pycaffe returns the function itself for ntop=0 layers
+                # (e.g. Silence); assigning it to a NetSpec attribute
+                # registers the layer without any top
+                return layer
             return layer.tops[0] if layer.ntop == 1 else tuple(layer.tops)
 
         return make
@@ -132,13 +137,19 @@ class NetSpec:
     def to_proto(self) -> Dict[str, Any]:
         # assign blob names: a top takes the NetSpec attribute name
         top_names: Dict[Top, str] = {}
+        layer_attr_names: Dict[int, str] = {}
         layers: List[_Layer] = []
         seen = set()
         for name, top in self._tops.items():
-            top_names[top] = name
-            if id(top.layer) not in seen:
-                seen.add(id(top.layer))
-                layers.append(top.layer)
+            if isinstance(top, _Layer):  # ntop=0 layer (e.g. Silence)
+                layer = top
+            else:
+                top_names[top] = name
+                layer = top.layer
+            if id(layer) not in seen:
+                seen.add(id(layer))
+                layer_attr_names[id(layer)] = name
+                layers.append(layer)
         # order: as assigned (dict preserves insertion)
         out_layers = []
         autogen = [0]
@@ -151,13 +162,22 @@ class NetSpec:
             top_names[top] = nm
             return nm
 
+        # rendered blob name per Top: downstream bottoms must use the
+        # PRODUCING layer's actual top (pycaffe: layers[inp.fn].top[inp.n]),
+        # which for in-place layers is the bottom's name, not the attribute
+        rendered: Dict[Top, str] = {}
         for layer in layers:
-            bottoms = [blob_name(t) for t in layer.inputs]
+            bottoms = [rendered.get(t, blob_name(t)) for t in layer.inputs]
             if layer.in_place and bottoms:
                 tops = bottoms[: layer.ntop]
             else:
                 tops = [blob_name(t) for t in layer.tops]
-            lname = top_names.get(layer.tops[0], tops[0])
+            for t, nm in zip(layer.tops, tops):
+                rendered[t] = nm
+            if layer.tops:
+                lname = top_names.get(layer.tops[0], tops[0])
+            else:
+                lname = layer_attr_names.get(id(layer), f"_auto{autogen[0]}")
             msg: Dict[str, Any] = {"name": lname, "type": layer.type_name}
             if bottoms:
                 msg["bottom"] = bottoms
@@ -204,3 +224,34 @@ def _normalize(param_field: str, sub: Dict[str, Any]) -> Dict[str, Any]:
             v = fld.enum_values[v]
         out[k] = v
     return out
+
+
+class _MsgEnums:
+    """Enum namespace of one parameter message: P.Pooling.MAX -> 0."""
+
+    def __init__(self, msg_name: str):
+        self._vals: Dict[str, int] = {}
+        for f in caffe_pb.SCHEMA.get(msg_name, {}).values():
+            if f.kind == "enum" and f.enum_values:
+                self._vals.update(f.enum_values)
+
+    def __getattr__(self, name: str) -> int:
+        try:
+            return self._vals[name]
+        except KeyError:
+            raise AttributeError(name)
+
+
+class _Params:
+    """pycaffe ``caffe.params`` (P): enum values by parameter message —
+    P.Pooling.MAX, P.Eltwise.SUM, ... (net_spec.py parameter_enum there)."""
+
+    def __getattr__(self, name: str) -> _MsgEnums:
+        for suffix in ("Parameter", "ParameterV2", ""):
+            if name + suffix in caffe_pb.SCHEMA:
+                return _MsgEnums(name + suffix)
+        raise AttributeError(f"no parameter message for {name!r}")
+
+
+params = _Params()
+P = params
