@@ -181,14 +181,18 @@ def score_pairs_lowres(
         Yd = axis_weights_dense(ys_all, h, padh, th).reshape(L, M, h)
         Xd = axis_weights_dense(xs_all, w, padw, tw).reshape(L, M, w)
         # one batched MXU contraction over all limbs x both PAF channels
-        # (replaces 19 x S x 2 separate small matmuls — VERDICT weak #7)
+        # (replaces 19 x S x 2 separate small matmuls — VERDICT weak #7).
+        # Contract the WIDE axis (w) first: the (L,2,M,·) intermediate is
+        # the dominant HBM tensor of the whole postprocess, and indexing it
+        # by h (46) instead of w (82) shrinks it ~1.8x; the second step is
+        # then an elementwise multiply-reduce (VPU, fusable), not a matmul.
         tmp = jnp.einsum(
-            "lmh,lchw->lcmw", Yd, planes[n],
+            "lchw,lmw->lcmh", planes[n], Xd,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (L, 2, M, w)
+        )  # (L, 2, M, h)
         v = jnp.einsum(
-            "lcmw,lmw->lcm", tmp, Xd,
+            "lcmh,lmh->lcm", tmp, Yd,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
