@@ -179,8 +179,13 @@ def pose_batches(
 PREFETCH_COUNT = 3  # base_data_layer.hpp PREFETCH_COUNT
 
 
-def prefetch_loader(batch_iter: Iterator, depth: int = PREFETCH_COUNT) -> Iterator:
-    """Background-thread prefetch ring (BasePrefetchingDataLayer parity)."""
+def prefetch_loader(batch_iter: Iterator, depth: int = PREFETCH_COUNT,
+                    stage: Optional[Callable] = None) -> Iterator:
+    """Background-thread prefetch ring (BasePrefetchingDataLayer parity).
+
+    ``stage``, when given, is applied to each batch INSIDE the worker
+    thread — used by :func:`stage_batches` to issue the host->device
+    transfer there, overlapping it with the consumer's train step."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
@@ -189,9 +194,22 @@ def prefetch_loader(batch_iter: Iterator, depth: int = PREFETCH_COUNT) -> Iterat
             for b in batch_iter:
                 if stop.is_set():
                     return
-                q.put(b)
+                b = stage(b) if stage is not None else b
+                while not stop.is_set():  # bounded put: exit cleanly on
+                    try:                  # stop instead of blocking forever
+                        q.put(b, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         finally:
-            q.put(None)
+            while not stop.is_set():  # sentinel for a live consumer;
+                try:                  # skipped when shutting down
+                    q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -203,3 +221,47 @@ def prefetch_loader(batch_iter: Iterator, depth: int = PREFETCH_COUNT) -> Iterat
             yield b
     finally:
         stop.set()
+
+
+class StagedBatch(dict):
+    """A batch whose arrays are already on device in the net's physical
+    layout.  Solver.step passes these straight into the jitted step (no
+    per-iteration jnp.asarray / to_physical), so the H2D transfer cost sits
+    in the prefetch thread, not the step loop."""
+
+
+def stage_batches(batch_iter: Iterator, net,
+                  depth: int = PREFETCH_COUNT) -> Iterator:
+    """Device-staging prefetch ring.
+
+    The plain ring overlaps host augmentation with the train step, but the
+    batch upload still happens synchronously inside Solver.step
+    (device transfer is the binding resource on tethered chips: measured
+    8.15 iters/s compute vs 4.61 end-to-end for the CPM train graph).
+    This ring ALSO performs the exact per-blob conversion Solver.step would
+    do (caffe->physical transpose for nhwc input blobs) and ``device_put``
+    in the worker thread, yielding :class:`StagedBatch` dicts of device
+    arrays — upload rides behind the previous step's compute.
+    """
+    import jax
+
+    from ..ops import layout as lay
+
+    infos = net.blob_infos
+
+    def stage(batch):
+        out = StagedBatch()
+        for k, v in batch.items():
+            arr = np.asarray(v)
+            info = infos.get(k)
+            if info is not None and info.nhwc and arr.ndim == 4:
+                arr = np.ascontiguousarray(lay.to_physical(arr))
+            out[k] = jax.device_put(arr)
+        # materialize the transfers in THIS thread (device_put may be
+        # lazy; .block_until_ready would serialize — touching shape is
+        # enough to have issued the copy on all backends we use)
+        for a in out.values():
+            a.block_until_ready()
+        return out
+
+    return prefetch_loader(batch_iter, depth=depth, stage=stage)

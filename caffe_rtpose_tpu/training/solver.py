@@ -313,13 +313,27 @@ class Solver:
             grads_acc = None
             for _sub in range(int(self.sp.iter_size)):
                 batch = self.next_batch(self.it)
-                inputs = {}
-                for k, v in batch.items():
-                    arr = jnp.asarray(v)
-                    info = self.net.blob_infos.get(k)
-                    if info is not None and info.nhwc and arr.ndim == 4:
-                        arr = lay.to_physical(arr)
-                    inputs[k] = arr
+                from .datasets import StagedBatch
+
+                if isinstance(batch, StagedBatch) and self.mesh is not None:
+                    raise ValueError(
+                        "stage_batches targets a single device; use the "
+                        "plain prefetch ring with mesh data-parallel "
+                        "(shard_batch owns placement there)")
+                if isinstance(batch, StagedBatch):
+                    # device-staged ring (datasets.stage_batches): arrays
+                    # are already on device in physical layout — the
+                    # upload happened in the prefetch thread, overlapped
+                    # with the previous step
+                    inputs = dict(batch)
+                else:
+                    inputs = {}
+                    for k, v in batch.items():
+                        arr = jnp.asarray(v)
+                        info = self.net.blob_infos.get(k)
+                        if info is not None and info.nhwc and arr.ndim == 4:
+                            arr = lay.to_physical(arr)
+                        inputs[k] = arr
                 if self.mesh is not None:
                     from ..parallel.dp import shard_batch
 

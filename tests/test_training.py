@@ -495,3 +495,55 @@ def test_hdf5_snapshot_restore_roundtrip(tmp_path):
     b.step(3)
     np.testing.assert_allclose(np.asarray(b.net.params["ip"][0]), ref,
                                rtol=1e-6)
+
+
+class TestStagedPrefetch:
+    def test_staged_ring_matches_host_path(self):
+        """stage_batches (device staging in the prefetch thread) must be a
+        pure pipeline-shape change: per-step losses and final params
+        identical to the synchronous host path."""
+        import jax
+
+        from caffe_rtpose_tpu.models.cpm import make_pose_train_net
+        from caffe_rtpose_tpu.training.datasets import (
+            StagedBatch, SyntheticPoseSource, stage_batches)
+        from caffe_rtpose_tpu.training.labels_device import (
+            make_input_transform, pose_batches_jointfeed)
+        from caffe_rtpose_tpu.training.solver import Solver
+        from caffe_rtpose_tpu.training.transformer import AugParams
+
+        prm = AugParams(crop_size_x=64, crop_size_y=64, stride=8)
+        source = SyntheticPoseSource(n=8, size=64, seed=0)
+
+        def run(staged: bool):
+            net = Net(make_pose_train_net(batch=2, crop=64, stages=2),
+                      phase="TRAIN", seed=0)
+            batches = pose_batches_jointfeed(source, prm, 2, seed=1,
+                                             data_u8=True)
+            if staged:
+                batches = stage_batches(batches, net)
+            it = iter(batches)
+            seen = []
+
+            def next_batch(_):
+                b = next(it)
+                seen.append(b)
+                return b
+
+            losses = []
+            solver = Solver(
+                "base_lr: 2e-5 lr_policy: 'fixed' momentum: 0.9",
+                net, next_batch,
+                input_transform=make_input_transform(prm, data_u8=True))
+            solver.step(3, callback=lambda s: losses.append(
+                s.smoothed_losses[-1]))
+            if staged:
+                assert all(isinstance(b, StagedBatch) for b in seen)
+                assert all(isinstance(v, jax.Array)
+                           for b in seen for v in b.values())
+            return losses, np.asarray(solver.net.params["conv1_1"][0])
+
+        la, pa = run(False)
+        lb, pb = run(True)
+        np.testing.assert_allclose(la, lb, rtol=1e-6)
+        np.testing.assert_allclose(pa, pb, rtol=1e-6, atol=1e-8)
