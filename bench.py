@@ -187,6 +187,40 @@ def main():
     lat_b = latency_pass()
     lat = lat_a if lat_a["p95_ms"] <= lat_b["p95_ms"] else lat_b
 
+    # dispatch-free device time of the fused program (scripts/
+    # measure_device_ms.py method: N iterations inside one lax.fori_loop,
+    # input XOR-perturbed by the loop index so the body can't be hoisted;
+    # removes the ~1.6 ms/dispatch tunnel overhead from the measurement)
+    device = {}
+    try:
+        nms_thr = jnp.float32(est.params_connect.nms_threshold)
+        inter_thr = jnp.float32(est.params_connect.inter_threshold)
+        fwd, params, n_iter = est._raw_fn, est.net.params, 10
+
+        @jax.jit
+        def dev_loop(img):
+            def body(i, acc):
+                x = img ^ (i & 1).astype(jnp.uint8)
+                out = fwd(params, x, nms_thr, inter_thr)
+                return acc + jnp.sum(out["packed"][:, :4].astype(jnp.float32))
+            return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
+
+        xd = jax.device_put(probe_buf, dev)
+        jax.block_until_ready(dev_loop(xd))
+        best = min(
+            (lambda t0: (jax.block_until_ready(dev_loop(xd)),
+                         time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(3)
+        )
+        ms = best / n_iter / BATCH * 1e3
+        device = {
+            "device_ms_per_frame": round(ms, 3),
+            # 485 GFLOP/frame (COCO deploy at 368x656), 197 TFLOP/s bf16 peak
+            "mfu_whole_program": round(485e9 / (ms * 1e-3) / 197e12, 3),
+        }
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "pose_fps_656x368_1scale",
         "value": round(fps, 2),
@@ -196,6 +230,7 @@ def main():
         "passes": n_passes,
         "stage_ms": breakdown,
         "latency_mode": lat,
+        **device,
     }))
 
 

@@ -14,7 +14,9 @@ import jax.numpy as jnp
 def euclidean(pred: jax.Array, target: jax.Array) -> jax.Array:
     """EuclideanLoss: sum((a-b)^2) / (2*N) where N = batch (euclidean_loss_layer.cpp)."""
     n = pred.shape[0]
-    diff = (pred - target).astype(jnp.float32)
+    # subtract in f32: a bf16 subtraction rounds the residual itself,
+    # which is the quantity being squared (AMP keeps losses in f32)
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
     return jnp.sum(diff * diff) / (2.0 * n)
 
 
@@ -33,7 +35,7 @@ def euclidean_masked(pred: jax.Array, target: jax.Array, mask_nc: jax.Array, cha
     shape[0] = n
     shape[channel_axis] = c
     gate_b = gate.reshape(shape)
-    diff = (pred - target).astype(jnp.float32) * gate_b
+    diff = (pred.astype(jnp.float32) - target.astype(jnp.float32)) * gate_b
     return jnp.sum(diff * diff) / (2.0 * n)
 
 

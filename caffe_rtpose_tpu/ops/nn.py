@@ -18,6 +18,42 @@ from jax import lax
 DIMS_NHWC = ("NHWC", "HWIO", "NHWC")
 
 
+def _conv_call(x, w, kwargs, accum_dtype):
+    """conv_general_dilated with f32 accumulation that stays differentiable
+    at reduced operand dtype.
+
+    jax 0.9's conv transpose rule rejects the dtype mix that
+    ``preferred_element_type`` creates (f32 cotangent vs bf16 operands), so
+    mixed-precision TRAINING would fail on the forward conv alone.  When
+    operand dtype != accum dtype, wrap in a custom_vjp whose backward casts
+    the cotangent to the operand dtype and reuses JAX's own conv transposes
+    at uniform dtype — the classic AMP recipe (bf16 grads; the TPU MXU
+    still accumulates every conv in f32 internally regardless of the
+    requested output dtype).  The uniform-dtype path (f32 training — the
+    reference-parity dtype) is untouched: plain lax call, exact numerics.
+    """
+    if jnp.dtype(x.dtype) == jnp.dtype(accum_dtype):
+        return lax.conv_general_dilated(
+            x, w, preferred_element_type=accum_dtype, **kwargs)
+
+    @jax.custom_vjp
+    def f(x, w):
+        return lax.conv_general_dilated(
+            x, w, preferred_element_type=accum_dtype, **kwargs)
+
+    def fwd(x, w):
+        return f(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        _, vjp = jax.vjp(
+            lambda xx, ww: lax.conv_general_dilated(xx, ww, **kwargs), x, w)
+        return vjp(g.astype(x.dtype))
+
+    f.defvjp(fwd, bwd)
+    return f(x, w)
+
+
 def conv2d(
     x: jax.Array,
     w: jax.Array,
@@ -34,15 +70,17 @@ def conv2d(
     Output spatial dim = floor((in + 2p - dilated_k)/stride) + 1, matching
     reference base_conv_layer.cpp compute_output_shape.
     """
-    y = lax.conv_general_dilated(
+    y = _conv_call(
         x,
         w.astype(x.dtype),
-        window_strides=stride,
-        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-        rhs_dilation=dilation,
-        dimension_numbers=DIMS_NHWC,
-        feature_group_count=groups,
-        preferred_element_type=accum_dtype,
+        dict(
+            window_strides=stride,
+            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+            rhs_dilation=dilation,
+            dimension_numbers=DIMS_NHWC,
+            feature_group_count=groups,
+        ),
+        accum_dtype,
     )
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -70,16 +108,19 @@ def deconv2d(
     """
     kh = (w.shape[0] - 1) * dilation[0] + 1
     kw = (w.shape[1] - 1) * dilation[1] + 1
-    y = lax.conv_general_dilated(
+    y = _conv_call(
         x,
         w.astype(x.dtype),
-        window_strides=(1, 1),
-        padding=[(kh - 1 - pad[0], kh - 1 - pad[0]), (kw - 1 - pad[1], kw - 1 - pad[1])],
-        lhs_dilation=stride,
-        rhs_dilation=dilation,
-        dimension_numbers=DIMS_NHWC,
-        feature_group_count=groups,
-        preferred_element_type=accum_dtype,
+        dict(
+            window_strides=(1, 1),
+            padding=[(kh - 1 - pad[0], kh - 1 - pad[0]),
+                     (kw - 1 - pad[1], kw - 1 - pad[1])],
+            lhs_dilation=stride,
+            rhs_dilation=dilation,
+            dimension_numbers=DIMS_NHWC,
+            feature_group_count=groups,
+        ),
+        accum_dtype,
     )
     if b is not None:
         y = y + b.astype(y.dtype)

@@ -257,11 +257,6 @@ def stage_batches(batch_iter: Iterator, net,
             if info is not None and info.nhwc and arr.ndim == 4:
                 arr = np.ascontiguousarray(lay.to_physical(arr))
             out[k] = jax.device_put(arr)
-        # materialize the transfers in THIS thread (device_put may be
-        # lazy; .block_until_ready would serialize — touching shape is
-        # enough to have issued the copy on all backends we use)
-        for a in out.values():
-            a.block_until_ready()
         return out
 
     return prefetch_loader(batch_iter, depth=depth, stage=stage)

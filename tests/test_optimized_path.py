@@ -110,3 +110,62 @@ def test_pallas_upsample_peaks_matches_xla_chain():
         np.testing.assert_allclose(np.asarray(heat), np.asarray(ref_heat),
                                    atol=1e-5)
         np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_compact_keys_property_random_dense():
+    """Two-level block-ranked compaction == numpy raster scan on random
+    masks dense enough to cross many 512-slot blocks and overflow
+    max_peaks (the in-block search and the rank>count clamp paths)."""
+    from caffe_rtpose_tpu.ops.nms import block_keys, compact_keys
+
+    rs = np.random.RandomState(7)
+    h, w = 46, 82
+    for density, topk in ((0.002, 8), (0.05, 16), (0.4, 32), (0.9, 64)):
+        # random boolean masks thinned so no two peaks are 8-adjacent
+        # (block_keys' pair-collapse precondition, guaranteed for strict
+        # maxima): keep a set pixel only if no earlier raster neighbor kept
+        raw = rs.rand(3, h, w) < density
+        raw[:, 0, :] = raw[:, -1, :] = False
+        raw[:, :, 0] = raw[:, :, -1] = False
+        mask = np.zeros_like(raw)
+        for c in range(3):
+            for y in range(1, h - 1):
+                for x in range(1, w - 1):
+                    if raw[c, y, x] and not (
+                        mask[c, y - 1, x - 1 : x + 2].any()
+                        or mask[c, y, x - 1]
+                    ):
+                        mask[c, y, x] = True
+        kb = block_keys(jnp.asarray(mask), h, w)
+        pos, valid, counts = compact_keys(kb, h * w, topk)
+        pos, valid, counts = map(np.asarray, (pos, valid, counts))
+        for c in range(3):
+            ref = np.flatnonzero(mask[c].reshape(-1))
+            assert counts[c] == len(ref)
+            k = min(topk, len(ref))
+            np.testing.assert_array_equal(pos[c, :k], ref[:k])
+            assert valid[c, :k].all() and not valid[c, k:].any()
+
+
+def test_compact_keys_full_res_many_blocks():
+    """Full 368x656 map (236 ranking blocks): raster order and counts hold
+    when peaks span many blocks and some blocks are empty."""
+    from caffe_rtpose_tpu.ops.nms import block_keys, compact_keys
+
+    rs = np.random.RandomState(11)
+    h, w = 368, 656
+    mask = np.zeros((1, h, w), bool)
+    kept = []
+    for pos in np.sort(rs.choice(h * w, 3000, replace=False)):
+        y, x = divmod(int(pos), w)
+        if 1 <= y < h - 1 and 1 <= x < w - 1 and all(
+            abs(y - ky) > 1 or abs(x - kx) > 1 for ky, kx in kept[-80:]
+        ):
+            mask[0, y, x] = True
+            kept.append((y, x))
+    kb = block_keys(jnp.asarray(mask), h, w)
+    pos, valid, counts = compact_keys(kb, h * w, 64)
+    ref = np.flatnonzero(mask[0].reshape(-1))
+    assert int(counts[0]) == len(ref)
+    np.testing.assert_array_equal(np.asarray(pos)[0], ref[:64])
+    assert np.asarray(valid)[0].all()

@@ -547,3 +547,46 @@ class TestStagedPrefetch:
         lb, pb = run(True)
         np.testing.assert_allclose(la, lb, rtol=1e-6)
         np.testing.assert_allclose(pa, pb, rtol=1e-6, atol=1e-8)
+
+
+class TestMixedPrecisionTraining:
+    def test_bf16_train_step_grads_close_to_f32(self):
+        """Mixed-precision training (bf16 activations/compute, f32 master
+        params, f32 conv accumulation via ops.nn._conv_call's custom VJP —
+        jax's own conv transpose rejects the dtype mix) must produce
+        gradients close to the f32 path and a runnable update."""
+        import jax
+        import jax.numpy as jnp
+
+        from caffe_rtpose_tpu.models.cpm import make_pose_train_net
+
+        rs = np.random.RandomState(0)
+        data = rs.rand(2, 64, 64, 3).astype(np.float32) - 0.5
+        label = (rs.rand(2, 8, 8, 114) > 0.7).astype(np.float32)
+
+        grads = {}
+        for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            net = Net(make_pose_train_net(batch=2, crop=64, stages=2),
+                      phase="TRAIN", seed=0, dtype=dtype)
+            loss_fn = net.make_loss_fn()
+            inputs = {"data": jnp.asarray(data, dtype),
+                      "label": jnp.asarray(label, dtype)}
+            loss, g = jax.value_and_grad(loss_fn)(
+                net.params, inputs, jax.random.PRNGKey(0))
+            assert np.isfinite(float(loss))
+            grads[name] = g
+
+        for lay in grads["f32"]:
+            for a, b in zip(grads["f32"][lay], grads["bf16"][lay]):
+                a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+                assert np.isfinite(b).all(), lay
+                na = np.linalg.norm(a)
+                if na < 1e-5:  # numerically dead grads: direction undefined
+                    continue
+                # relative L2.  bf16 forward activations bound this:
+                # measured ~0.17 on weak-signal deep-stage layers (loss
+                # magnitudes there are ~1e-3 of stage-1's), ~1e-2 on
+                # strong-signal ones — the standard AMP regime, not a bug
+                # in the custom conv VJP (which is bit-exact at f32).
+                assert np.linalg.norm(a - b) / na < 0.3, (
+                    lay, np.linalg.norm(a - b) / na)
