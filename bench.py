@@ -206,9 +206,10 @@ def main():
             return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
         xd = jax.device_put(probe_buf, dev)
-        jax.block_until_ready(dev_loop(xd))
+        # device_get sync: axon's block_until_ready can return early
+        np.asarray(jax.device_get(dev_loop(xd)))
         best = min(
-            (lambda t0: (jax.block_until_ready(dev_loop(xd)),
+            (lambda t0: (np.asarray(jax.device_get(dev_loop(xd))),
                          time.perf_counter() - t0)[1])(time.perf_counter())
             for _ in range(3)
         )

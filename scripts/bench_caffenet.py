@@ -1,10 +1,13 @@
-"""Framework-level training benchmark: CaffeNet, batch 256, 20 iterations
-— the reference's own published hardware benchmark
-(/root/reference/docs/performance_hardware.md:18-24: K40 26.5 s standard /
-19.2 s cuDNN per 20 iters = 5,120 images; Titan 26.26/20.25 s).
+"""Framework-level benchmark: CaffeNet, batch 256 — the reference's own
+published hardware benchmark
+(/root/reference/docs/performance_hardware.md:18-24: training K40 26.5 s
+standard / 19.2 s cuDNN per 20 iters = 5,120 images; Titan 26.26/20.25 s;
+TESTING K40+cuDNN 60.7 s / 50,000 val images = 824 imgs/s).
 
-Run from the repo root on the TPU:  python scripts/bench_caffenet.py
-Prints one JSON line {"seconds_per_20_iters": ..., "imgs_per_sec": ...}.
+Run from the repo root on the TPU:
+    python scripts/bench_caffenet.py            # training benchmark
+    python scripts/bench_caffenet.py --test     # forward-only (testing)
+Prints one JSON line per mode.
 """
 
 import json
@@ -59,5 +62,49 @@ def main(batch=256, iters=20, warmup=3):
     }))
 
 
+def main_test(batch=256, iters=40, warmup=3):
+    """Forward-only scoring throughput (the reference's 'testing' row:
+    TEST-phase net, prob + accuracy heads, docs/performance_hardware.md:24)."""
+    import jax
+    import jax.numpy as jnp
+
+    from caffe_rtpose_tpu.core.net import Net
+    from caffe_rtpose_tpu.models.caffenet import make_caffenet
+
+    net = Net(make_caffenet(batch=batch, phase="TEST"), phase="TEST", seed=0)
+    rs = np.random.RandomState(0)
+    from caffe_rtpose_tpu.ops import layout as lay
+
+    data = jax.device_put(lay.to_physical(
+        rs.randint(0, 256, (batch, 3, 227, 227)).astype(np.float32)))
+    label = jax.device_put(rs.randint(0, 1000, (batch,)).astype(np.float32))
+    outs = net.output_names()  # loss + accuracy, like `caffe test`
+
+    def fwd(d, l):
+        blobs = net._apply(net.params, {"data": d, "label": l},
+                           jax.random.PRNGKey(0), None, False)
+        return sum(jnp.sum(blobs[o]) for o in outs)
+
+    fwd = jax.jit(fwd)
+    np.asarray(jax.device_get(fwd(data, label)))
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(iters):
+        s = s + fwd(data, label)
+    np.asarray(jax.device_get(s))
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    print(json.dumps({
+        "model": "CaffeNet b256 forward (TEST)",
+        "imgs_per_sec": round(ips, 1),
+        "seconds_per_50k_imgs": round(50000 / ips, 2),
+        "ref_k40_cudnn_s_per_50k": 60.7,
+        "speedup_vs_k40_cudnn": round(60.7 / (50000 / ips), 2),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--test" in sys.argv:
+        main_test()
+    else:
+        main()

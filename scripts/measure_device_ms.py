@@ -54,12 +54,13 @@ def main():
             return acc + jnp.sum(out["packed"][:, :4].astype(jnp.float32))
         return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
 
-    v = loop(img)
-    jax.block_until_ready(v)
+    # sync via device_get of the scalar: axon's block_until_ready can
+    # return early for some programs (device_get always round-trips)
+    np.asarray(jax.device_get(loop(img)))
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(img))
+        np.asarray(jax.device_get(loop(img)))
         times.append(time.perf_counter() - t0)
     per_frame = min(times) / N / B * 1e3
     mfu = args.flops / (per_frame * 1e-3) / args.peak
