@@ -202,7 +202,9 @@ def main():
             def body(i, acc):
                 x = img ^ (i & 1).astype(jnp.uint8)
                 out = fwd(params, x, nms_thr, inter_thr)
-                return acc + jnp.sum(out["packed"][:, :4].astype(jnp.float32))
+                # reduce the WHOLE packed buffer: a slice would let XLA
+                # dead-code-eliminate the stages it doesn't touch
+                return acc + jnp.sum(out["packed"].astype(jnp.float32))
             return jax.lax.fori_loop(0, n_iter, body, jnp.float32(0.0))
 
         xd = jax.device_put(probe_buf, dev)

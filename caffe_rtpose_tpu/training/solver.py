@@ -311,10 +311,10 @@ class Solver:
             lr = learning_rate(self.sp, self.it)
             total_loss = None
             grads_acc = None
+            from .datasets import StagedBatch
+
             for _sub in range(int(self.sp.iter_size)):
                 batch = self.next_batch(self.it)
-                from .datasets import StagedBatch
-
                 if isinstance(batch, StagedBatch) and self.mesh is not None:
                     raise ValueError(
                         "stage_batches targets a single device; use the "

@@ -50,20 +50,10 @@ def main():
     print("parity on device:", "OK" if (np.abs(a - b) <= tol).all()
           else f"FAIL max diff {np.abs(a - b).max()}")
 
+    from scripts._timing import timed_loop
+
     def bench(body):
-        @jax.jit
-        def f(x):
-            def bb(i, acc):
-                return acc + jnp.sum(
-                    body(x + i.astype(x.dtype) * 0).astype(jnp.float32))
-            return jax.lax.fori_loop(0, N, bb, jnp.float32(0))
-        jax.block_until_ready(f(x))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(x))
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / N / B * 1e3
+        return timed_loop(body, x, n=N, unit=B)
 
     tn = bench(native)
     tp = bench(pallas)

@@ -46,23 +46,10 @@ def main():
     fwd = est._raw_fn  # unjitted batched program (params, img, thr, ithr)
     params = est.net.params
 
-    @jax.jit
-    def loop(img):
-        def body(i, acc):
-            x = img ^ (i & 1).astype(jnp.uint8)
-            out = fwd(params, x, nms_thr, inter_thr)
-            return acc + jnp.sum(out["packed"][:, :4].astype(jnp.float32))
-        return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+    from scripts._timing import timed_loop
 
-    # sync via device_get of the scalar: axon's block_until_ready can
-    # return early for some programs (device_get always round-trips)
-    np.asarray(jax.device_get(loop(img)))
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(jax.device_get(loop(img)))
-        times.append(time.perf_counter() - t0)
-    per_frame = min(times) / N / B * 1e3
+    per_frame = timed_loop(
+        lambda x: fwd(params, x, nms_thr, inter_thr), img, n=N, unit=B)
     mfu = args.flops / (per_frame * 1e-3) / args.peak
     print(f"device program: {per_frame:.3f} ms/frame "
           f"(batch {B}, {N}-deep in-graph loop, best of 5)")

@@ -71,20 +71,10 @@ def main():
     rs = np.random.RandomState(0)
     img = jax.device_put((rs.rand(B, 1, 368, 656, 3) * 255).astype(np.uint8))
 
-    def timed(make_body):
-        @jax.jit
-        def loop(img):
-            def body(i, acc):
-                x = img ^ (i & 1).astype(jnp.uint8)
-                return acc + make_body(x)
-            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
-        jax.block_until_ready(loop(img))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(loop(img))
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / N / B * 1e3  # ms/frame
+    from scripts._timing import timed_loop
+
+    def timed(body):
+        return timed_loop(body, img, n=N, unit=B)
 
     def upto(blob):
         def body(x):
@@ -93,7 +83,7 @@ def main():
                 blobs = net._apply(params, {"image": xf.astype(net.dtype)},
                                    jax.random.PRNGKey(0), None, False)
                 return blobs[blob]
-            return jnp.sum(jax.vmap(one)(x).astype(jnp.float32))
+            return jax.vmap(one)(x)
         return body
 
     rows = []
@@ -110,8 +100,7 @@ def main():
     nms_thr = jnp.float32(est.params_connect.nms_threshold)
     inter_thr = jnp.float32(est.params_connect.inter_threshold)
     fwd = est._raw_fn
-    full_ms = timed(lambda x: jnp.sum(
-        fwd(params, x, nms_thr, inter_thr)["packed"][:, :4].astype(jnp.float32)))
+    full_ms = timed(lambda x: fwd(params, x, nms_thr, inter_thr))
     rows.append(("post(ImResize+NMS+PAF+pack)", full_ms, full_ms - prev_ms,
                  0.0, float("nan")))
 

@@ -77,12 +77,13 @@ def main():
                 return step(data + (i & 1).astype(data.dtype) * 1e-6,
                             label, *carry)
             return jax.lax.fori_loop(0, N, body, state)
-        out = loop(data, label, *state)
-        jax.block_until_ready(out)
+        # sync on the scalar accumulator via device_get (axon's
+        # block_until_ready can return early for some programs)
+        np.asarray(jax.device_get(loop(data, label, *state)[-1]))
         ts = []
         for _ in range(4):
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(data, label, *state))
+            np.asarray(jax.device_get(loop(data, label, *state)[-1]))
             ts.append(time.perf_counter() - t0)
         return min(ts) / N / B * 1e3  # ms per image
 
