@@ -9,6 +9,7 @@ TOOLS = {
                                "build_pose_db / extract_features"),
     "eval": ("tools.eval_pose", "run-list / joint-diff / coco-ap"),
     "upgrade": ("tools.upgrade_proto", "legacy prototxt/caffemodel upgrades"),
+    "export": ("tools.export_tool", "AOT serving bundles (build / check)"),
 }
 
 

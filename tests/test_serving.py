@@ -1,0 +1,137 @@
+"""AOT serving bundles (caffe_rtpose_tpu/serving.py): export the fused
+estimator program via jax.export, reload it cold, and require bit-identical
+device outputs + identical host-side behavior vs the live estimator.
+
+No reference analog (rtpose.bin re-traces the Net at startup, rtpose.cpp:
+173-237 warmup); this is the TPU-native deployment story."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+from caffe_rtpose_tpu.serving import ExportedPose, export_estimator
+
+REF_COCO = "/root/reference/model/coco/pose_deploy_linevec.prototxt"
+REF_MPI = "/root/reference/model/mpi/pose_deploy_linevec.prototxt"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_COCO), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    est = PoseEstimator(REF_COCO, net_resolution=(128, 80), num_scales=1,
+                        seed=11, input_u8=True, pair_cap=8)
+    out = str(tmp_path_factory.mktemp("srv") / "coco_bundle")
+    export_estimator(est, out)
+    return est, out
+
+
+def test_bundle_files(bundle):
+    _, out = bundle
+    files = set(os.listdir(out))
+    # pair_cap=8 < max_peaks=64 -> the overflow program must ship too
+    assert {"meta.json", "weights.npz", "program.jaxexport",
+            "program_nocap.jaxexport"} <= files
+
+
+def test_exported_outputs_bit_identical(bundle):
+    est, out = bundle
+    pose = ExportedPose(out)
+    assert pose.input_shape() == est.input_shape()
+    assert pose.input_dtype == est.input_dtype
+    rs = np.random.RandomState(3)
+    x = (rs.rand(*est.input_shape()) * 255).astype(np.uint8)
+    a = np.asarray(jax.device_get(est.run_device(x)["packed"]))
+    b = np.asarray(jax.device_get(pose.run_device(x)["packed"]))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_exported_estimate_end_to_end(bundle):
+    est, out = bundle
+    pose = ExportedPose(out)
+    rs = np.random.RandomState(4)
+    frame = (rs.rand(90, 160, 3) * 255).astype(np.uint8)
+    ra, _ = est.estimate(frame, nms_threshold=0.0)
+    rb, _ = pose.estimate(frame, nms_threshold=0.0)
+    assert ra.num_people == rb.num_people
+    np.testing.assert_array_equal(ra.peaks, rb.peaks)
+    if ra.num_people:
+        np.testing.assert_array_equal(ra.joints, rb.joints)
+
+
+def test_exported_overflow_refetch(bundle):
+    """The bundle's nocap program must drive the same overflow refetch
+    path as the live estimator (pair_cap is never a silent truncation,
+    VERDICT r2 item 3)."""
+    est, out = bundle
+    pose = ExportedPose(out)
+    rs = np.random.RandomState(5)
+    # random weights at nms_threshold=0 produce many peaks -> overflow at cap 8
+    x = (rs.rand(*est.input_shape()) * 255).astype(np.uint8)
+    pa = np.asarray(jax.device_get(est.run_device(x, nms_threshold=0.0)["packed"]))
+    peaks = est.unpack(pa)[0]
+    if not est.overflowed(peaks):
+        pytest.skip("random weights produced <= cap peaks this seed")
+    fa = est.refetch_full(x, nms_threshold=0.0)
+    fb = pose.refetch_full(x, nms_threshold=0.0)
+    for a, b in zip(fa, fb):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_exported_cannot_retrace(bundle):
+    _, out = bundle
+    pose = ExportedPose(out)
+    with pytest.raises(NotImplementedError):
+        pose._build_compiled()
+
+
+def test_export_uncapped_skips_nocap_program(tmp_path):
+    est = PoseEstimator(REF_MPI, net_resolution=(128, 80), num_scales=1,
+                        seed=7, input_u8=True, pair_cap=None)
+    out = str(tmp_path / "mpi_bundle")
+    export_estimator(est, out)
+    assert not os.path.exists(os.path.join(out, "program_nocap.jaxexport"))
+    pose = ExportedPose(out)
+    assert pose.descriptor.name == "MPI_15"
+    rs = np.random.RandomState(6)
+    x = (rs.rand(*est.input_shape()) * 255).astype(np.uint8)
+    a = np.asarray(jax.device_get(est.run_device(x)["packed"]))
+    b = np.asarray(jax.device_get(pose.run_device(x)["packed"]))
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(NotImplementedError):
+        pose._nocap_compiled()
+
+
+def test_export_float_path_and_multi_platform(tmp_path):
+    """Float (non-u8) input path + a multi-platform artifact: exported for
+    both cpu and tpu, runnable on the current (cpu) backend."""
+    est = PoseEstimator(REF_COCO, net_resolution=(128, 80), num_scales=1,
+                        seed=11)
+    out = str(tmp_path / "f32_bundle")
+    export_estimator(est, out, platforms=["cpu", "tpu"])
+    pose = ExportedPose(out)
+    assert set(pose.platforms) == {"cpu", "tpu"}
+    rs = np.random.RandomState(8)
+    x = rs.rand(1, 3, 80, 128).astype(np.float32) - 0.5
+    a = np.asarray(jax.device_get(est.run_device(x)["packed"]))
+    b = np.asarray(jax.device_get(pose.run_device(x)["packed"]))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_export_tool_cli(tmp_path, capsys):
+    from caffe_rtpose_tpu.tools import export_tool
+
+    out = str(tmp_path / "cli_bundle")
+    rc = export_tool.main([
+        "build", "--caffeproto", REF_COCO, "--net_resolution", "128x80",
+        "--input_u8", "--out", out, "--seed", "11"])
+    assert rc == 0
+    rc = export_tool.main(["check", out])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "smoke ok" in text and "COCO_18" in text
