@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "differ by resize-of-a-resize rounding")
     p.add_argument("--no_weights", action="store_true",
                    help="(extension) run with random-initialized weights")
+    p.add_argument("--bundle", default="",
+                   help="(extension) run from an AOT serving bundle "
+                        "(see 'python -m caffe_rtpose_tpu export'): loads "
+                        "the exported program + weights with no prototxt "
+                        "parse or tracing at startup; the bundle fixes "
+                        "net_resolution/scales/pair_cap/dtype, overriding "
+                        "those flags")
     return p
 
 
@@ -81,6 +88,24 @@ def main(argv=None) -> int:
     from ..pose.estimator import PoseEstimator
 
     import os
+
+    if args.bundle:
+        if args.part_to_show > 0:
+            print("error: --bundle runs the packed fast path; heatmap views "
+                  "(--part_to_show > 0) need a live estimator with "
+                  "keep_heatmap", file=sys.stderr)
+            return 2
+        from ..serving import ExportedPose
+
+        est = ExportedPose(args.bundle)
+        # the exported program fixes the input geometry — the pipeline's
+        # preprocess must match it
+        args.net_resolution = (est.net_w, est.net_h)
+        args.num_scales = est.num_scales
+        args.start_scale = est.start_scale
+        args.scale_gap = est.scale_gap
+        return _run_pipeline(est, args)
+
     weights = None if args.no_weights else (
         args.caffemodel if os.path.exists(args.caffemodel) else None
     )
@@ -130,6 +155,14 @@ def main(argv=None) -> int:
         pair_cap=args.pair_cap or None,
         device_rescale=args.device_rescale,
     )
+    return _run_pipeline(est, args)
+
+
+def _run_pipeline(est, args) -> int:
+    import os
+
+    from ..pipeline.runner import PipelineConfig, RtPosePipeline
+
     cfg = PipelineConfig(
         video=args.video, camera=args.camera, image_dir=args.image_dir,
         resolution=args.resolution, net_resolution=args.net_resolution,

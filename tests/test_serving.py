@@ -123,6 +123,35 @@ def test_export_float_path_and_multi_platform(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pipeline_from_bundle_matches_live(bundle, tmp_path):
+    """The rtpose pipeline driven by an ExportedPose (rtpose --bundle) must
+    emit byte-identical JSON to the live estimator on the same inputs."""
+    cv2 = pytest.importorskip("cv2")
+    from caffe_rtpose_tpu.pipeline.runner import PipelineConfig, RtPosePipeline
+
+    est, out = bundle
+    pose = ExportedPose(out)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rs = np.random.RandomState(9)
+    for i in range(3):
+        cv2.imwrite(str(img_dir / f"f{i:03d}.jpg"),
+                    (rs.rand(120, 160, 3) * 255).astype(np.uint8))
+    outputs = {}
+    for tag, runner_est in (("live", est), ("bundle", pose)):
+        out_json = tmp_path / tag
+        out_json.mkdir()
+        cfg = PipelineConfig(
+            image_dir=str(img_dir), resolution=(256, 160),
+            net_resolution=(128, 80), write_json=str(out_json) + "/",
+            no_display=True, no_frame_drops=True)
+        n = RtPosePipeline(runner_est, cfg).run()
+        assert n == 3
+        outputs[tag] = sorted((p.name, p.read_bytes())
+                              for p in out_json.iterdir())
+    assert outputs["live"] == outputs["bundle"]
+
+
 def test_export_tool_cli(tmp_path, capsys):
     from caffe_rtpose_tpu.tools import export_tool
 
