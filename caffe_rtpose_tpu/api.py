@@ -164,7 +164,8 @@ class Net:
         self.blobs: "OrderedDict[str, _Blob]" = OrderedDict()
         for name, info in self._net.blob_infos.items():
             self.blobs[name] = _Blob(info.shape_caffe)
-        self.params: "OrderedDict[str, List[_Blob]]" = OrderedDict()
+        self._params_stale = False
+        self._params_dict: "OrderedDict[str, List[_Blob]]" = OrderedDict()
         for impl in self._net.impls:
             if impl.params:
                 blobs = []
@@ -172,9 +173,29 @@ class Net:
                     b = _Blob(pi.caffe_shape)
                     b.data = np.array(pi.export_caffe(np.asarray(arr))).reshape(pi.caffe_shape).copy()
                     blobs.append(b)
-                self.params[impl.name] = blobs
+                self._params_dict[impl.name] = blobs
+        if self._proto is None:
+            # solver-owned facade: baseline snapshot for _push_params's
+            # user-edit detection
+            self._synced_params = {
+                name: [b.data.copy() for b in blobs]
+                for name, blobs in self.params.items()
+            }
 
     # ------------------------------------------------------------- pycaffe
+
+    @property
+    def params(self) -> "OrderedDict[str, List[_Blob]]":
+        """Layer-name → param _Blob list.  Reference pycaffe params alias
+        live device memory; here a facade marked stale (after a solver
+        step updated the core net) is re-pulled on first access, so reads
+        are always current and edits land on fresh values."""
+        if self._params_stale:
+            self._refresh_params()
+        return self._params_dict
+
+    def _mark_params_stale(self) -> None:
+        self._params_stale = True
 
     @property
     def inputs(self) -> List[str]:
@@ -258,10 +279,18 @@ class Net:
         self._refresh_params()
 
     def _refresh_params(self) -> None:
-        for name, blobs in self.params.items():
+        self._params_stale = False
+        for name, blobs in self._params_dict.items():
             impl = self._net.layer_by_name[name]
             for pi, arr, b in zip(impl.params, self._net.params[name], blobs):
                 b.data = np.array(pi.export_caffe(np.asarray(arr))).reshape(pi.caffe_shape).copy()
+        if self._proto is None:
+            # solver-owned facade: remember what we handed the user so
+            # _push_params can tell their edits from training updates
+            self._synced_params = {
+                name: [b.data.copy() for b in blobs]
+                for name, blobs in self.params.items()
+            }
 
     def _push_params(self) -> None:
         """Write user edits of net.params[...][i].data back to the runtime."""
@@ -270,10 +299,34 @@ class Net:
         if self._proto is None:
             # facade over a live core net (matcaffe solver.net): the core is
             # authoritative — a training step updates it behind the facade,
-            # so pushing the facade's snapshot would clobber learned
-            # weights.  Pull instead; param edits go through the owning
-            # solver/core net on this path.
-            self._refresh_params()
+            # so blind-pushing the facade's snapshot would clobber learned
+            # weights.  But user edits must still write through (reference
+            # pycaffe/matcaffe params alias the shared blobs): push exactly
+            # the params whose facade contents changed since the last sync,
+            # then pull everything.
+            if self._params_stale:
+                return  # a stale facade cannot hold user edits: every edit
+                        # path reads through the params property, which
+                        # refreshes first
+            synced = getattr(self, "_synced_params", None)
+            pushed = False
+            if synced is not None:
+                for name, blobs in self._params_dict.items():
+                    ref = synced.get(name, [])
+                    impl = self._net.layer_by_name[name]
+                    new = None
+                    for i, b in enumerate(blobs):
+                        cur = np.asarray(b.data, np.float32)
+                        if i < len(ref) and np.array_equal(cur, ref[i]):
+                            continue
+                        if new is None:
+                            new = list(self._net.params[name])
+                        new[i] = jnp.asarray(impl.params[i].import_caffe(cur))
+                    if new is not None:
+                        self._net.params[name] = new
+                        pushed = True
+            if pushed:
+                self._refresh_params()
             return
         for name, blobs in self.params.items():
             impl = self._net.layer_by_name[name]
@@ -690,17 +743,32 @@ class _PySolver:
     def iter(self) -> int:
         return self._solver.iter
 
+    def _sync_facades(self) -> None:
+        """Mark the Net facades stale so the next params read pulls the
+        trained values (reference pycaffe params alias the live blobs;
+        lazy re-pull keeps step() free of per-iteration device fetches)."""
+        self.net._mark_params_stale()
+        for tn in self.test_nets:
+            tn._mark_params_stale()
+
     def step(self, iters: int = 1):
-        return self._solver.step(int(iters))
+        self.net._push_params()  # user edits of net.params write through
+        r = self._solver.step(int(iters))
+        self._sync_facades()
+        return r
 
     def solve(self) -> None:
+        self.net._push_params()
         self._solver.solve()
+        self._sync_facades()
 
     def snapshot(self, prefix=None):
+        self.net._push_params()  # snapshot the user-visible weights
         return self._solver.snapshot(prefix)
 
     def restore(self, path: str) -> None:
         self._solver.restore(path)
+        self._sync_facades()
 
 
 def _self_feed(net):
@@ -717,12 +785,14 @@ def _self_feed(net):
     return None
 
 
-def SGDSolver(solver_file: str, data_fn=None):
+def SGDSolver(solver_file: str, data_fn=None, test_data_fn=None):
     """pycaffe-style solver constructor; ``data_fn(it) -> {input: array}``
     feeds the graph inputs (data layers are external in this framework).
     Test nets are built from the solver param (test_net files or the shared
-    net at TEST phase, per-net test_iter — Solver::Init semantics) when
-    they can feed themselves."""
+    net at TEST phase, per-net test_iter — Solver::Init semantics); nets
+    with in-graph data layers self-feed, external ``input:`` blobs are fed
+    by ``test_data_fn`` when given, else zeros (reference Solver::Test
+    forwards with current blob contents, and Blob data starts zeroed)."""
     from .proto import caffe_pb, prototxt
     from .training.solver import Solver
 
@@ -741,10 +811,16 @@ def SGDSolver(solver_file: str, data_fn=None):
         sources = list(sp.test_net) or ([net_src] if not sp.has("test_net") else [])
         for i, src in enumerate(sources):
             tnet = _CoreNet(src, phase=TEST)
-            # contract of Solver.test: fn=None lets in-graph data layers
-            # self-feed; nets needing external data cannot be driven here
-            fn = None if (tnet.data_layers or not tnet.input_names) \
-                else (lambda it: {})
+            # fn=None lets in-graph data layers self-feed; external-input
+            # nets take test_data_fn or run on zeros like reference blobs
+            if tnet.data_layers or not tnet.input_names:
+                fn = None
+            elif test_data_fn is not None:
+                fn = test_data_fn
+            else:
+                def fn(it, _n=tnet):
+                    return {name: np.zeros(_n.blob_shape(name), np.float32)
+                            for name in _n.input_names}
             test_nets.append((tnet, fn, iters[min(i, len(iters) - 1)]))
     return _PySolver(Solver(msg, net, data_fn, test_nets=test_nets))
 
@@ -752,6 +828,6 @@ def SGDSolver(solver_file: str, data_fn=None):
 AdamSolver = NesterovSolver = AdaGradSolver = RMSPropSolver = AdaDeltaSolver = SGDSolver
 
 
-def get_solver(solver_file: str, data_fn=None):
+def get_solver(solver_file: str, data_fn=None, test_data_fn=None):
     """caffe.get_solver (solver type read from the prototxt)."""
-    return SGDSolver(solver_file, data_fn)
+    return SGDSolver(solver_file, data_fn, test_data_fn)

@@ -727,9 +727,12 @@ class MatlabEngine:
         failures must fail run_tests(), like the reference runner."""
         if not isinstance(cls, MatClass) or not cls.is_testcase:
             raise MatlabError("run() expects a matlab.unittest.TestCase class")
-        obj = self.construct(cls, [])
         passed = []
         for name in sorted(cls.tests):
+            # MATLAB's unittest constructs a FRESH TestCase instance per
+            # test method — one method's fixture mutations must not leak
+            # into the next
+            obj = self.construct(cls, [])
             self.call_function(cls.methods[name], [], self_obj=obj)
             passed.append(name)
         summary = f"{cls.name}: {len(passed)}/{len(cls.tests)} passed"
@@ -1459,7 +1462,7 @@ def _b_strcmp(a, b):
 
 
 def _b_assert(cond, *msg):
-    ok = MatlabEngine._truth(None, cond) if False else _truth_static(cond)
+    ok = _truth_static(cond)
     if not ok:
         text = msg[0] if msg and isinstance(msg[0], str) else "assertion failed"
         raise MatlabError(f"assert: {text}")

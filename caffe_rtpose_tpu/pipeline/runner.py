@@ -288,6 +288,7 @@ class RtPosePipeline:
         self.stats: List[Dict[str, float]] = []
         self.processed = 0
         self.dropped = 0  # frames discarded by the 0.1 s drop policy
+        self._dropped_lock = threading.Lock()
         # optional injected source of (frame_number, bgr, path) tuples —
         # used by bench.py to feed synthetic frames through the production
         # pipeline (preprocess included) without video IO
@@ -370,7 +371,8 @@ class RtPosePipeline:
                 # drop policy (rtpose.cpp:1112-1124)
                 if not cfg.no_frame_drops and time.time() - f.commit_time > 0.1:
                     reorder.push_dropped(f.index)
-                    self.dropped += 1
+                    with self._dropped_lock:  # N dispatcher threads share it
+                        self.dropped += 1
                     continue
                 batch.append(f)
             if batch:

@@ -12,6 +12,7 @@ integrals) into a single device program with one small D2H transfer
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -61,6 +62,7 @@ class PoseEstimator:
         use_pallas: Optional[bool] = None,
         pack_u8: Optional[bool] = None,
         device_rescale: bool = False,
+        warm_overflow: bool = False,
     ):
         """``pair_cap``: transfer pair scores only for the first K peaks per
         part (raster order — identical to the reference for frames with
@@ -137,6 +139,23 @@ class PoseEstimator:
         self.lowres_blob = resize_impl.bottoms[0] if resize_impl is not None else None
 
         self._compiled = self._build_compiled()
+        self._nocap_lock = threading.Lock()
+        self._compiled_nocap = None
+        if warm_overflow and self.eff_peaks < self.max_peaks:
+            # realtime mode: compile + run the uncapped overflow program in
+            # the background NOW, so the first crowded frame pays one extra
+            # device pass instead of a blocking multi-second XLA compile
+            # mid-stream (which would age every queued frame past the 0.1 s
+            # drop threshold)
+            threading.Thread(target=self._warm_nocap, daemon=True).start()
+
+    def _warm_nocap(self):
+        try:
+            x = np.zeros(self.input_shape(), self.input_dtype)
+            jax.block_until_ready(self.run_device(
+                x, _compiled=self._nocap_compiled()))
+        except Exception:  # noqa: BLE001 — warmup is best-effort; a real
+            pass           # failure resurfaces on the refetch path
 
     # ------------------------------------------------------------- device
 
@@ -347,12 +366,15 @@ class PoseEstimator:
     # ---------------------------------------------- pair_cap overflow path
 
     def _nocap_compiled(self):
-        """Lazily-compiled full-capacity single-frame program (pair_cap
-        off).  Only ever built after the first overflow is seen."""
-        if getattr(self, "_compiled_nocap", None) is None:
-            self._compiled_nocap = self._build_compiled(
-                eff_peaks=self.max_peaks, batch=1)
-        return self._compiled_nocap
+        """Full-capacity single-frame program (pair_cap off).  Built lazily
+        on the first overflow, or eagerly by the ``warm_overflow``
+        background thread; the lock keeps concurrent fetcher threads from
+        tracing it twice."""
+        with self._nocap_lock:
+            if self._compiled_nocap is None:
+                self._compiled_nocap = self._build_compiled(
+                    eff_peaks=self.max_peaks, batch=1)
+            return self._compiled_nocap
 
     def overflowed(self, peaks: np.ndarray) -> bool:
         """True when a part produced more peaks than the pair_cap program

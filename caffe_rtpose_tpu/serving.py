@@ -152,7 +152,7 @@ class ExportedPose(PoseEstimator):
     instead of a freshly traced one.  No prototxt, caffemodel, or graph
     build happens at load time."""
 
-    def __init__(self, bundle_dir: str):
+    def __init__(self, bundle_dir: str, warm_overflow: bool = False):
         # deliberately does NOT chain to PoseEstimator.__init__ — all
         # state is restored from the bundle, no Net is built
         with open(os.path.join(bundle_dir, _META)) as f:
@@ -199,6 +199,10 @@ class ExportedPose(PoseEstimator):
             with open(nocap_path, "rb") as f:
                 self._compiled_nocap = jax.jit(
                     jax_export.deserialize(bytearray(f.read())).call)
+        if warm_overflow and self._compiled_nocap is not None:
+            import threading
+
+            threading.Thread(target=self._warm_nocap, daemon=True).start()
 
     # the AOT bundle cannot re-trace programs -------------------------------
 

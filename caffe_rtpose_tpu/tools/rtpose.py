@@ -97,7 +97,7 @@ def main(argv=None) -> int:
             return 2
         from ..serving import ExportedPose
 
-        est = ExportedPose(args.bundle)
+        est = ExportedPose(args.bundle, warm_overflow=True)
         # the exported program fixes the input geometry — the pipeline's
         # preprocess must match it
         args.net_resolution = (est.net_w, est.net_h)
@@ -154,6 +154,9 @@ def main(argv=None) -> int:
         input_u8=args.part_to_show == 0,
         pair_cap=args.pair_cap or None,
         device_rescale=args.device_rescale,
+        # realtime: precompile the pair_cap overflow program in the
+        # background so the first crowded frame doesn't stall the stream
+        warm_overflow=True,
     )
     return _run_pipeline(est, args)
 

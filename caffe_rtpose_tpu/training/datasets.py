@@ -179,6 +179,13 @@ def pose_batches(
 PREFETCH_COUNT = 3  # base_data_layer.hpp PREFETCH_COUNT
 
 
+class _PrefetchError:
+    """Carries a worker-thread exception across the ring to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch_loader(batch_iter: Iterator, depth: int = PREFETCH_COUNT,
                     stage: Optional[Callable] = None) -> Iterator:
     """Background-thread prefetch ring (BasePrefetchingDataLayer parity).
@@ -203,6 +210,17 @@ def prefetch_loader(batch_iter: Iterator, depth: int = PREFETCH_COUNT,
                         continue
                 if stop.is_set():
                     return
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer:
+            # a device error in stage() (OOM, layout) or a source error must
+            # surface in the training loop, not masquerade as end-of-data
+            err = _PrefetchError(e)
+            while not stop.is_set():
+                try:
+                    q.put(err, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            return
         finally:
             while not stop.is_set():  # sentinel for a live consumer;
                 try:                  # skipped when shutting down
@@ -216,6 +234,8 @@ def prefetch_loader(batch_iter: Iterator, depth: int = PREFETCH_COUNT,
     try:
         while True:
             b = q.get()
+            if isinstance(b, _PrefetchError):
+                raise b.exc
             if b is None:
                 return
             yield b

@@ -337,3 +337,104 @@ def test_datum_array_roundtrip():
     np.testing.assert_allclose(caffe.datum_to_array(d2), f, rtol=1e-6)
     with pytest.raises(ValueError):
         caffe.array_to_datum(np.zeros((2, 2)))
+
+
+# ---- review-fix regressions (round 3) ------------------------------------
+
+_XOR_NET = """
+name: "t"
+input: "x"
+input_shape { dim: 2 dim: 3 }
+input: "t"
+input_shape { dim: 2 dim: 1 }
+layer { name: "ip" type: "InnerProduct" bottom: "x" top: "p"
+  inner_product_param { num_output: 1
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "l" type: "EuclideanLoss" bottom: "p" bottom: "t" top: "l" }
+"""
+
+
+def _solver_files(tmp_path, extra=""):
+    net = tmp_path / "t.prototxt"
+    net.write_text(_XOR_NET)
+    sol = tmp_path / "s.prototxt"
+    sol.write_text(
+        f'net: "{net}"\nbase_lr: 0.1\nlr_policy: "fixed"\nmax_iter: 10\n'
+        + extra)
+    return sol
+
+
+def test_solver_test_interval_with_external_inputs(tmp_path, capsys):
+    """A test net declaring external inputs must not crash TestAll: the
+    reference forwards with current (zero-initialized) blob contents."""
+    sol = _solver_files(tmp_path, "test_interval: 2\ntest_iter: 1\n")
+    rs = np.random.RandomState(0)
+    s = caffe.SGDSolver(str(sol), data_fn=lambda it: {
+        "x": rs.randn(2, 3).astype(np.float32),
+        "t": rs.randn(2, 1).astype(np.float32)})
+    s.step(3)  # crosses iteration 2 -> runs the test net on zeros
+    assert "Testing net (#0)" in capsys.readouterr().out
+
+
+def test_solver_test_data_fn_feeds_test_net(tmp_path):
+    sol = _solver_files(tmp_path, "test_interval: 2\ntest_iter: 1\n")
+    rs = np.random.RandomState(1)
+    seen = []
+
+    def tfn(it):
+        seen.append(it)
+        return {"x": np.ones((2, 3), np.float32),
+                "t": np.zeros((2, 1), np.float32)}
+
+    s = caffe.SGDSolver(str(sol), data_fn=lambda it: {
+        "x": rs.randn(2, 3).astype(np.float32),
+        "t": rs.randn(2, 1).astype(np.float32)}, test_data_fn=tfn)
+    s.step(3)
+    assert seen  # the custom feed was used
+
+
+def test_solver_net_facade_param_edit_writes_through(tmp_path):
+    """solver.net.params edits must reach training (reference pycaffe
+    params alias the shared blobs) — both by assignment and in place."""
+    sol = _solver_files(tmp_path)
+    rs = np.random.RandomState(2)
+    data_fn = lambda it: {  # noqa: E731
+        "x": rs.randn(2, 3).astype(np.float32),
+        "t": rs.randn(2, 1).astype(np.float32)}
+    s = caffe.SGDSolver(str(sol), data_fn=data_fn)
+    w = np.full((1, 3), 0.25, np.float32)
+    s.net.params["ip"][0].data[...] = w  # in-place edit (pycaffe idiom)
+    out = s.net.forward(["p"], x=np.eye(3, dtype=np.float32)[:2] * 4.0,
+                        t=np.zeros((2, 1), np.float32))
+    np.testing.assert_allclose(out["p"], [[1.0], [1.0]], rtol=1e-5)
+    # the edit reached the core net (not just the facade's copy)
+    core_w = np.asarray(s._solver.net.params["ip"][0]).reshape(1, 3)
+    np.testing.assert_allclose(core_w, w)
+    # and training proceeds FROM the edited weights, then refreshes the
+    # facade with the learned (different) values rather than re-clobbering
+    s.step(1)
+    # reads are live after step() (reference params alias the net blobs):
+    # the facade shows the TRAINED weights without an intervening forward,
+    # via lazy re-pull (no per-step device fetch)
+    assert s.net._params_stale
+    assert not np.allclose(s.net.params["ip"][0].data, w)
+    assert not s.net._params_stale
+    np.testing.assert_allclose(
+        s.net.params["ip"][0].data,
+        np.asarray(s._solver.net.params["ip"][0]).reshape(1, 3), rtol=1e-6)
+    out2 = s.net.forward(["p"], x=np.eye(3, dtype=np.float32)[:2] * 4.0,
+                         t=np.zeros((2, 1), np.float32))
+    assert not np.allclose(out2["p"], [[1.0], [1.0]])
+
+
+def test_prefetch_loader_propagates_worker_errors():
+    from caffe_rtpose_tpu.training.datasets import prefetch_loader
+
+    def bad_source():
+        yield {"x": np.zeros(3)}
+        raise RuntimeError("device OOM in stage()")
+
+    it = prefetch_loader(bad_source())
+    next(it)
+    with pytest.raises(RuntimeError, match="device OOM"):
+        next(it)

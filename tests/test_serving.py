@@ -152,6 +152,45 @@ def test_pipeline_from_bundle_matches_live(bundle, tmp_path):
     assert outputs["live"] == outputs["bundle"]
 
 
+def test_export_batched_program(tmp_path):
+    """batch>1 bundles carry the vmapped program; fetch_batch splits rows
+    identically to the live estimator."""
+    est = PoseEstimator(REF_COCO, net_resolution=(128, 80), num_scales=1,
+                        seed=11, input_u8=True, pair_cap=8, batch=2)
+    out = str(tmp_path / "b2_bundle")
+    export_estimator(est, out)
+    pose = ExportedPose(out)
+    assert pose.batch == 2
+    rs = np.random.RandomState(10)
+    x = (rs.rand(2, *est.input_shape()) * 255).astype(np.uint8)
+    a = est.fetch_batch(est.run_device(x))
+    b = pose.fetch_batch(pose.run_device(x))
+    for (pa, sa, ca), (pb, sb, cb) in zip(a, b):
+        np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(ca, cb)
+
+
+def test_warm_overflow_precompiles_nocap():
+    """warm_overflow=True builds the uncapped overflow program in the
+    background at startup (no blocking XLA compile on the first crowded
+    frame mid-stream)."""
+    import time
+
+    est = PoseEstimator(REF_COCO, net_resolution=(128, 80), num_scales=1,
+                        seed=11, input_u8=True, pair_cap=8,
+                        warm_overflow=True)
+    deadline = time.time() + 300
+    while est._compiled_nocap is None and time.time() < deadline:
+        time.sleep(0.5)
+    assert est._compiled_nocap is not None
+    # the warmed program serves the refetch path
+    rs = np.random.RandomState(12)
+    x = (rs.rand(*est.input_shape()) * 255).astype(np.uint8)
+    peaks, _, _ = est.refetch_full(x, nms_threshold=0.0)
+    assert peaks.shape == (18, 65, 3)
+
+
 def test_export_tool_cli(tmp_path, capsys):
     from caffe_rtpose_tpu.tools import export_tool
 
