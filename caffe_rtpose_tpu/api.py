@@ -746,8 +746,17 @@ class _PySolver:
     def _sync_facades(self) -> None:
         """Mark the Net facades stale so the next params read pulls the
         trained values (reference pycaffe params alias the live blobs;
-        lazy re-pull keeps step() free of per-iteration device fetches)."""
+        lazy re-pull keeps step() free of per-iteration device fetches).
+        Output blobs of the last training forward are written through so
+        the ``solver.step(1); solver.net.blobs['loss'].data`` idiom reads
+        the trained-step values like reference shared memory (values ride
+        the jitted step's aux channel — no extra forward; intermediate
+        blobs still require a forward())."""
         self.net._mark_params_stale()
+        for name, arr in self._solver.train_outputs().items():
+            b = self.net.blobs.get(name)
+            if b is not None:
+                b.data = arr
         for tn in self.test_nets:
             tn._mark_params_stale()
 

@@ -533,14 +533,22 @@ class Net:
                     out.append((t, float(w)))
         return out
 
-    def make_loss_fn(self, with_aux: bool = False):
+    def make_loss_fn(self, with_aux: bool = False, with_outputs: bool = False):
         """fn(params, inputs, rng) -> scalar total weighted loss.  With
         ``with_aux``, returns (loss, {layer: aux}) — the side channel for
-        stat-carrying layers (BatchNorm batch mean/var in TRAIN)."""
+        stat-carrying layers (BatchNorm batch mean/var in TRAIN).  With
+        ``with_outputs``, the return becomes
+        ``(loss, (aux_or_None, {output_blob: physical array}))`` — the
+        net's output blobs from the SAME forward, free for the caller
+        since XLA computes them on the loss path anyway.  Feeds the
+        reference's per-iteration result display (solver.cpp:243-277
+        ``Train net output #k``) and pycaffe's read-blobs-after-step
+        idiom without an extra forward."""
         tops = self.loss_tops()
         if not tops:
             raise ValueError("net has no loss tops")
         training = self.phase == "TRAIN"
+        out_names = self.output_names() if with_outputs else []
 
         def loss_fn(params, inputs, rng):
             aux: Optional[Dict[str, Any]] = {} if with_aux else None
@@ -549,6 +557,8 @@ class Net:
             total = 0.0
             for t, w in tops:
                 total = total + w * jnp.sum(blobs[t])
+            if with_outputs:
+                return total, (aux, {k: blobs[k] for k in out_names})
             return (total, aux) if with_aux else total
 
         return loss_fn

@@ -35,6 +35,10 @@ def make_data_iter(spec: str, net, batch_hint: int = 0) -> Iterator[Dict[str, np
                 yield out
 
         return it_net()
+    if not net.input_names:
+        # every top is produced in-graph (DummyData and friends): the net
+        # feeds itself, like the reference's layer-driven data path
+        return iter(lambda: {}, None)
     if spec == "synthetic-pose":
         from ..training.datasets import SyntheticPoseSource, pose_batches, prefetch_loader
         from ..training.transformer import AugParams
@@ -111,7 +115,7 @@ def _netstate_kw(args, force_level=True):
 def cmd_train(args) -> int:
     from ..core.net import Net
     from ..proto import caffe_pb, prototxt
-    from ..training.solver import Solver
+    from ..training.solver import Solver, learning_rate
     from ..utils.signals import SignalHandler, SolverAction, parse_action
 
     sp_msg = prototxt.parse_file(args.solver, "SolverParameter")
@@ -217,6 +221,10 @@ def cmd_train(args) -> int:
             if display and solver.it % display == 0:
                 print(f"Iteration {solver.it}, loss = {loss:.6f} "
                       f"(smoothed {solver.smoothed_loss:.6f})")
+                # solver.cpp:250-261 / sgd_solver.cpp:GetLearningRate
+                solver.display_outputs()
+                print(f"Iteration {solver.it}, "
+                      f"lr = {learning_rate(solver.sp, solver.it):g}")
             action = handler.check_for_action()
             if action == SolverAction.SNAPSHOT:
                 paths = solver.snapshot(args.snapshot_prefix or sp.snapshot_prefix or "snapshot")

@@ -256,7 +256,8 @@ class Solver:
         # var = m/(m-1)*var_batch + maf*var)
         self._bn_meta = {i.name: (float(i.meta["bn_maf"]), int(i.meta["bn_m"]))
                          for i in net.impls if i.aux_apply is not None}
-        loss_fn = net.make_loss_fn(with_aux=bool(self._bn_meta))
+        loss_fn = net.make_loss_fn(with_aux=bool(self._bn_meta),
+                                   with_outputs=True)
         if input_transform is not None:
             base_loss = loss_fn
 
@@ -277,8 +278,13 @@ class Solver:
 
             self.net.params = replicate(mesh, self.net.params)
             self.history = replicate(mesh, self.history)
-        self._grad = jax.jit(jax.value_and_grad(loss_fn,
-                                                has_aux=bool(self._bn_meta)))
+        # has_aux is always True: the aux tuple carries (bn_stats_or_None,
+        # train-forward output blobs).  The outputs ride along as device
+        # arrays (losses/scores — small) and are only fetched on read.
+        self._grad = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        # output blobs of the most recent training forward (physical
+        # layout, on device) — Solver::Step display / pycaffe blobs idiom
+        self.last_outputs: Dict[str, Any] = {}
 
         bn_meta = self._bn_meta
 
@@ -338,15 +344,13 @@ class Solver:
                     from ..parallel.dp import shard_batch
 
                     inputs = shard_batch(self.mesh, inputs)
+                (loss, (bn_aux, outs)), grads = self._grad(
+                    self.net.params, inputs, jax.random.PRNGKey(self.it))
+                self.last_outputs = outs
                 if self._bn_meta:
-                    (loss, bn_aux), grads = self._grad(
-                        self.net.params, inputs, jax.random.PRNGKey(self.it))
                     # per-forward stat roll, like the reference (iter_size
                     # sub-batches each advance the moving averages)
                     self.net.params = self._bn_roll(self.net.params, bn_aux)
-                else:
-                    loss, grads = self._grad(self.net.params, inputs,
-                                             jax.random.PRNGKey(self.it))
                 total_loss = loss if total_loss is None else total_loss + loss
                 grads_acc = (
                     grads
@@ -366,6 +370,40 @@ class Solver:
             if self.sp.snapshot and self.it % int(self.sp.snapshot) == 0 and self.sp.snapshot_prefix:
                 self.snapshot()
         return loss_val
+
+    def train_outputs(self) -> "Dict[str, np.ndarray]":
+        """Output blobs of the last training forward, caffe layout
+        (solver.cpp:243-277 reads net_->output_blobs() after Forward for
+        the ``Train net output #k`` display; pycaffe reads net.blobs after
+        step()).  Values come from the jitted step's aux channel — no
+        extra forward, fetched only when called."""
+        from ..ops import layout as lay
+
+        out = {}
+        for k, v in self.last_outputs.items():
+            info = self.net.blob_infos.get(k)
+            if info is not None and info.nhwc:
+                v = lay.to_caffe(v)
+            out[k] = np.asarray(jax.device_get(v))
+        return out
+
+    def display_outputs(self) -> None:
+        """Print the reference's per-display result lines
+        (solver.cpp:250-261): one line per output blob element, with the
+        ``(* w = contribution loss)`` suffix for loss-weighted tops."""
+        weights = dict(self.net.loss_tops())
+        outs = self.train_outputs()
+        j = 0
+        for name in self.net.output_names():
+            if name not in outs:
+                continue
+            vals = np.asarray(outs[name], np.float32).reshape(-1)
+            w = weights.get(name, 0.0)
+            for v in vals[:8]:  # reference prints every element; cap wide
+                suffix = (f" (* {w:g} = {w * float(v):g} loss)" if w else "")
+                print(f"    Train net output #{j}: {name} = "
+                      f"{float(v):g}{suffix}")
+                j += 1
 
     def test_all(self) -> Dict[str, float]:
         """Run every test net (Solver::TestAll); returns {blob: mean} of the
