@@ -215,11 +215,21 @@ def cmd_train(args) -> int:
     handler = SignalHandler(parse_action(args.sigint_effect), parse_action(args.sighup_effect))
     max_iter = int(sp.max_iter) if sp.has("max_iter") else args.iterations
     display = int(sp.display) if sp.has("display") else 20
+    import time as _time
+
+    t_disp = _time.time()
+    it_disp = solver.it
     try:
         while solver.it < max_iter:
             loss = solver.step(1)
             if display and solver.it % display == 0:
-                print(f"Iteration {solver.it}, loss = {loss:.6f} "
+                # rate prefix like solver.cpp:237-243's
+                # "Iteration N (R iter/s, Ts/D iters)"
+                dt = max(_time.time() - t_disp, 1e-9)
+                di = solver.it - it_disp
+                t_disp, it_disp = _time.time(), solver.it
+                print(f"Iteration {solver.it} ({di / dt:.4g} iter/s, "
+                      f"{dt:.4g}s/{di} iters), loss = {loss:.6f} "
                       f"(smoothed {solver.smoothed_loss:.6f})")
                 # solver.cpp:250-261 / sgd_solver.cpp:GetLearningRate
                 solver.display_outputs()
