@@ -19,6 +19,10 @@ actual CPM graphs would not have been caught):
    ``sp.spatial_estimator_fn`` (SPMD halo exchanges through the conv
    trunk, top_k NMS and pair scoring under sharding), outputs asserted
    equal to single-device.
+4. ``dryrun_tp_estimator`` — the fused estimator with channel-sharded
+   (tensor-parallel) weights via ``tp.tp_estimator_fn`` — the
+   HBM-scaling placement (each device holds 1/n of every conv kernel's
+   output channels), outputs asserted equal to single-device.
 
 Shapes are reduced (crop/net res) so the run fits the driver's virtual
 CPU mesh, but the GRAPHS are the flagship ones: every layer type, the
@@ -141,10 +145,44 @@ def dryrun_spatial_estimator(n_devices: int, est=None) -> None:
           f"H-sharded over {n_devices} devices == single-device OK")
 
 
+def dryrun_tp_estimator(n_devices: int, est=None) -> None:
+    """The full fused estimator with channel-sharded (tensor-parallel)
+    weights over the mesh — the HBM-scaling placement (parallel/tp.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import layout
+    from .dp import make_mesh
+    from .tp import shard_params_channelwise, tp_estimator_fn
+
+    est = est or _flagship_estimator()
+    mesh = make_mesh(n_devices, axis="model")
+    fn = tp_estimator_fn(mesh, est)
+
+    rs = np.random.RandomState(4)
+    x = rs.rand(1, 3, est.net_h, est.net_w).astype(np.float32) - 0.5
+    single = est.fetch(est.run_device(x))
+
+    xp = layout.to_physical(jnp.asarray(x)).astype(est.net.dtype)
+    p = est.params_connect
+    with mesh:
+        params = shard_params_channelwise(mesh, est.net.params)
+        out = fn(params, xp, jnp.float32(p.nms_threshold),
+                 jnp.float32(p.inter_threshold))
+    sharded = est.fetch(out)
+    np.testing.assert_allclose(sharded[0], single[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(sharded[1], single[1], rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(sharded[2], single[2])
+    print(f"dryrun_tp_estimator({n_devices}): fused estimator with "
+          f"channel-sharded weights over {n_devices} devices == "
+          f"single-device OK")
+
+
 def dryrun_flagship(n_devices: int) -> None:
-    """The driver-visible multichip validation: all three flagship-graph
+    """The driver-visible multichip validation: all four flagship-graph
     shardings (see module docstring)."""
     est = _flagship_estimator()
     dryrun_device_pool(n_devices, est)
     dryrun_spatial_estimator(n_devices, est)
+    dryrun_tp_estimator(n_devices, est)
     dryrun_cpm_train(n_devices)

@@ -19,6 +19,7 @@ Semantics matched per algorithm (sgd_solver.cpp and friends):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -461,13 +462,17 @@ class Solver:
             return self._snapshot_hdf5(prefix)
         model_path = f"{prefix}_iter_{self.it}.caffemodel"
         state_path = f"{prefix}_iter_{self.it}.solverstate"
-        self.net.save_caffemodel(model_path)
+        # atomic publish (tmp + rename): a crash mid-write must never leave
+        # a torn file that a later --snapshot resume would trust
+        self.net.save_caffemodel(model_path + ".tmp")
+        os.replace(model_path + ".tmp", model_path)
         blobs = [cm.array_to_blob(a) for a in self._history_arrays()]
         cm.save_solver_state(
             {"iter": self.it, "learned_net": model_path, "history": blobs,
              "current_step": self.current_step},
-            state_path,
+            state_path + ".tmp",
         )
+        os.replace(state_path + ".tmp", state_path)
         return model_path, state_path
 
     def _history_arrays(self):
@@ -488,14 +493,16 @@ class Solver:
 
         model_path = f"{prefix}_iter_{self.it}.caffemodel.h5"
         state_path = f"{prefix}_iter_{self.it}.solverstate.h5"
-        self.net.save_hdf5(model_path)
-        with h5py.File(state_path, "w") as f:
+        self.net.save_hdf5(model_path + ".tmp")
+        os.replace(model_path + ".tmp", model_path)
+        with h5py.File(state_path + ".tmp", "w") as f:
             f["iter"] = np.int64(self.it)
             f["learned_net"] = model_path
             f["current_step"] = np.int64(self.current_step)
             hist = f.create_group("history")
             for i, arr in enumerate(self._history_arrays()):
                 hist[str(i)] = arr.astype(np.float32)
+        os.replace(state_path + ".tmp", state_path)
         return model_path, state_path
 
     def _restore_hdf5(self, state_path: str) -> None:
