@@ -23,6 +23,10 @@ actual CPM graphs would not have been caught):
    (tensor-parallel) weights via ``tp.tp_estimator_fn`` — the
    HBM-scaling placement (each device holds 1/n of every conv kernel's
    output channels), outputs asserted equal to single-device.
+5. ``pp.dryrun_pp`` — the 5 identical COCO refinement stages pipelined
+   one-per-device (stacked stage weights sharded over a ``stage`` axis,
+   microbatches flowing via ppermute, GPipe schedule), asserted equal
+   to the monolithic net's stage-6 outputs.
 
 Shapes are reduced (crop/net res) so the run fits the driver's virtual
 CPU mesh, but the GRAPHS are the flagship ones: every layer type, the
@@ -179,10 +183,13 @@ def dryrun_tp_estimator(n_devices: int, est=None) -> None:
 
 
 def dryrun_flagship(n_devices: int) -> None:
-    """The driver-visible multichip validation: all four flagship-graph
+    """The driver-visible multichip validation: all five flagship-graph
     shardings (see module docstring)."""
+    from .pp import dryrun_pp
+
     est = _flagship_estimator()
     dryrun_device_pool(n_devices, est)
     dryrun_spatial_estimator(n_devices, est)
     dryrun_tp_estimator(n_devices, est)
+    dryrun_pp(n_devices)
     dryrun_cpm_train(n_devices)

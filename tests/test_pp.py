@@ -1,0 +1,66 @@
+"""Pipeline parallelism over the CPM refinement stages — parallel/pp.py.
+
+The pipelined stack (one stage per device, ppermute hand-offs, GPipe
+schedule) must reproduce the monolithic single-device net exactly."""
+
+import jax
+import numpy as np
+import pytest
+
+from caffe_rtpose_tpu.parallel.pp import (
+    dryrun_pp, make_refine_stage_net, stack_stage_params)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 5, reason="needs >= 5 mesh devices")
+
+
+def test_stage_subnet_reproduces_full_net_stage():
+    """The generic single-stage subnet fed stage-3 weights must equal the
+    full net's stage-3 intermediates (name-mapped param reuse)."""
+    from caffe_rtpose_tpu.core.net import Net
+    from caffe_rtpose_tpu.models.cpm import make_pose_deploy_net
+
+    h, w = 16, 24
+    full = Net(make_pose_deploy_net("COCO", input_dim=(1, 3, h * 8, w * 8)),
+               phase="TEST", seed=5)
+    rs = np.random.RandomState(1)
+    img = rs.rand(1, 3, h * 8, w * 8).astype(np.float32) - 0.5
+    out = full.forward({"image": img}, outputs=[
+        "Mconv7_stage2_L1", "Mconv7_stage2_L2", "conv4_4_CPM",
+        "Mconv7_stage3_L1", "Mconv7_stage3_L2"])
+
+    sub = make_refine_stage_net(hw=(h, w))
+    params = {f"Mconv{i}_{br}": full.params[f"Mconv{i}_stage3_{br}"]
+              for i in range(1, 8) for br in ("L1", "L2")}
+    sub.params = params
+    got = sub.forward({"prev_L1": out["Mconv7_stage2_L1"],
+                       "prev_L2": out["Mconv7_stage2_L2"],
+                       "feat": out["conv4_4_CPM"]})
+    np.testing.assert_allclose(got["Mconv7_L1"], out["Mconv7_stage3_L1"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got["Mconv7_L2"], out["Mconv7_stage3_L2"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stack_stage_params_shapes():
+    from caffe_rtpose_tpu.core.net import Net
+    from caffe_rtpose_tpu.models.cpm import make_pose_deploy_net
+
+    full = Net(make_pose_deploy_net("COCO", input_dim=(1, 3, 64, 64)),
+               phase="TEST", seed=0)
+    stacked = stack_stage_params(full.params, range(2, 7))
+    assert set(stacked) == {f"Mconv{i}_{br}" for i in range(1, 8)
+                            for br in ("L1", "L2")}
+    for name, plist in stacked.items():
+        for j, p in enumerate(plist):
+            assert p.shape[0] == 5, (name, j)
+            np.testing.assert_array_equal(
+                np.asarray(p[2]),
+                np.asarray(full.params[name.replace("_L", "_stage4_L")][j]))
+
+
+def test_pipeline_matches_monolithic():
+    # full pipe vs monolithic net, including a microbatch count that
+    # exercises the bubble (M > S and M < S paths)
+    dryrun_pp(len(jax.devices()), hw=(16, 24), micro=7)
+    dryrun_pp(len(jax.devices()), hw=(16, 24), micro=3)
