@@ -101,8 +101,27 @@ class _Blob:
 
     def __init__(self, shape):
         self._shape = tuple(int(d) for d in shape)
-        self.data = np.zeros(self._shape, np.float32)
+        self._data = np.zeros(self._shape, np.float32)
+        self._pending_data = None
         self.diff = np.zeros(self._shape, np.float32)
+
+    @property
+    def data(self):
+        if self._pending_data is not None:
+            thunk, self._pending_data = self._pending_data, None
+            self._data = thunk()
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        self._pending_data = None
+        self._data = value
+
+    def _set_pending(self, thunk) -> None:
+        """Defer .data to ``thunk()`` until first read — keeps
+        solver.step() free of per-iteration device fetches while
+        preserving the read-blobs-after-step idiom."""
+        self._pending_data = thunk
 
     @property
     def shape(self):
@@ -751,12 +770,24 @@ class _PySolver:
         the ``solver.step(1); solver.net.blobs['loss'].data`` idiom reads
         the trained-step values like reference shared memory (values ride
         the jitted step's aux channel — no extra forward; intermediate
-        blobs still require a forward())."""
+        blobs still require a forward()).  The fetch is LAZY: step()
+        plants thunks and the device_get + layout convert happens only
+        when a blob is first read (one shared pull for all outputs)."""
         self.net._mark_params_stale()
-        for name, arr in self._solver.train_outputs().items():
+        solver = self._solver
+        cache: Dict[str, np.ndarray] = {}
+
+        def make_thunk(name):
+            def thunk():
+                if not cache:
+                    cache.update(solver.train_outputs())
+                return cache[name]
+            return thunk
+
+        for name in solver.last_outputs:
             b = self.net.blobs.get(name)
             if b is not None:
-                b.data = arr
+                b._set_pending(make_thunk(name))
         for tn in self.test_nets:
             tn._mark_params_stale()
 

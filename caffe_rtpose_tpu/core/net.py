@@ -389,13 +389,22 @@ class Net:
         return jax.jit(fwd)
 
     def output_names(self) -> List[str]:
-        produced = set(self.input_names)
+        # deterministic production order (inputs, then tops in layer
+        # order), matching the reference's blob-id ordering of net
+        # outputs (net.cpp AppendTop order) — a set here would make
+        # "Train net output #k" numbering vary across runs
         consumed = set()
         for impl in self.impls:
             inplace = set(impl.tops) & set(impl.bottoms)
             consumed |= set(impl.bottoms) - inplace
-            produced |= set(impl.tops)
-        return [b for b in produced if b not in consumed]
+        ordered, seen = [], set()
+        for b in list(self.input_names) + [t for impl in self.impls
+                                           for t in impl.tops]:
+            if b not in seen:
+                seen.add(b)
+                if b not in consumed:
+                    ordered.append(b)
+        return ordered
 
     def forward(
         self,
@@ -558,7 +567,11 @@ class Net:
             for t, w in tops:
                 total = total + w * jnp.sum(blobs[t])
             if with_outputs:
-                return total, (aux, {k: blobs[k] for k in out_names})
+                # skip declared-but-unfed inputs (e.g. consumed only by a
+                # phase-excluded layer): they are output_names() members
+                # but absent from this forward's blob dict
+                return total, (aux, {k: blobs[k] for k in out_names
+                                     if k in blobs})
             return (total, aux) if with_aux else total
 
         return loss_fn

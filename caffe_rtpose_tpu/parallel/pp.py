@@ -24,13 +24,12 @@ Mconv7_stage6 intermediates exactly).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_refine_stage_net(n_paf: int = 38, n_heat: int = 19,
@@ -159,15 +158,18 @@ def pipeline_refine(mesh: Mesh, stage_net, stacked_params,
 
 def dryrun_pp(n_devices: int, hw: Tuple[int, int] = (24, 32),
               micro: int = 6) -> None:
-    """Pipeline the 5 identical COCO refinement stages over 5 mesh devices
-    and assert the microbatched pipe reproduces the monolithic net's
-    stage-6 outputs exactly."""
+    """Pipeline the identical COCO refinement stages one-per-device and
+    assert the microbatched pipe reproduces the monolithic net's
+    corresponding stage outputs exactly.  Uses ``min(n_devices, 5)``
+    stages (the COCO net has 5 refinement stages, 2..6), so 2-4 device
+    meshes pipeline a prefix of the refinement chain."""
     from ..core.net import Net
     from ..models.cpm import make_pose_deploy_net
 
-    S = 5  # stages 2..6
-    if n_devices < S:
-        raise ValueError(f"pipeline dryrun needs >= {S} devices")
+    if n_devices < 2:
+        raise ValueError("pipeline dryrun needs >= 2 devices")
+    S = min(n_devices, 5)  # stages 2..S+1 of the 6-stage net
+    last = f"_stage{S + 1}"
     h, w = hw
     proto = make_pose_deploy_net("COCO", input_dim=(1, 3, h * 8, w * 8))
     full = Net(proto, phase="TEST", seed=7)
@@ -179,15 +181,15 @@ def dryrun_pp(n_devices: int, hw: Tuple[int, int] = (24, 32),
         out = full.forward(
             {"image": img},
             outputs=["conv5_5_CPM_L1", "conv5_5_CPM_L2", "conv4_4_CPM",
-                     "Mconv7_stage6_L1", "Mconv7_stage6_L2"])
+                     f"Mconv7{last}_L1", f"Mconv7{last}_L2"])
         l1s.append(out["conv5_5_CPM_L1"])
         l2s.append(out["conv5_5_CPM_L2"])
         feats.append(out["conv4_4_CPM"])
-        want1.append(out["Mconv7_stage6_L1"])
-        want2.append(out["Mconv7_stage6_L2"])
+        want1.append(out[f"Mconv7{last}_L1"])
+        want2.append(out[f"Mconv7{last}_L2"])
 
     stage_net = make_refine_stage_net(hw=(h, w))
-    stacked = stack_stage_params(full.params, range(2, 7))
+    stacked = stack_stage_params(full.params, range(2, 2 + S))
     from ..ops import layout
 
     to_phys = lambda arrs: jnp.asarray(  # noqa: E731

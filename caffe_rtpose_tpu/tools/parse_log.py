@@ -81,10 +81,13 @@ def parse_log(path: str) -> Tuple[List[Dict], List[Dict]]:
                 m = regex.search(line)
                 if not m:
                     continue
-                idx, name, value = int(m.group(1)), m.group(2), float(m.group(3))
+                name, value = m.group(2), float(m.group(3))
                 row = train_row if row_attr == "train" else test_row
-                if row is None or idx == 0:
-                    # output #0 starts a new row (one row per display block)
+                if row is None or row["NumIters"] != iteration:
+                    # a new iteration starts a new row — keyed on NumIters
+                    # like the reference, so an unparseable output #0
+                    # (nan/inf loss) can't merge the block into the
+                    # previous iteration's row
                     row = {"NumIters": iteration, "Seconds": seconds,
                            "LearningRate": lr}
                     rows.append(row)

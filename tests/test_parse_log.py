@@ -107,3 +107,23 @@ def test_plot_png_when_matplotlib_present(tmp_path, train_log):
     out = tmp_path / "curve.png"
     assert plot_main(["6", str(out), str(train_log)]) == 0
     assert out.stat().st_size > 1000
+
+
+def test_nan_loss_starts_new_row(tmp_path):
+    """An unparseable output #0 (nan loss) must not merge the block's
+    remaining outputs into the previous iteration's row — row creation is
+    keyed on NumIters like the reference parse_log.py."""
+    log = tmp_path / "nan.log"
+    log.write_text(
+        "Iteration 80, loss = 1.5\n"
+        "    Train net output #0: l = 1.5\n"
+        "    Train net output #1: acc = 0.9\n"
+        "Iteration 100, loss = nan\n"
+        "    Train net output #0: l = nan\n"
+        "    Train net output #1: acc = 0.5\n"
+        "    lr = 0.01\n")
+    train_rows, _ = parse_log(str(log))
+    assert [r["NumIters"] for r in train_rows] == [80.0, 100.0]
+    assert train_rows[0]["acc"] == 0.9
+    assert train_rows[1]["acc"] == 0.5
+    assert "l" not in train_rows[1]  # nan value itself is unparseable

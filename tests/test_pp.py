@@ -64,3 +64,10 @@ def test_pipeline_matches_monolithic():
     # exercises the bubble (M > S and M < S paths)
     dryrun_pp(len(jax.devices()), hw=(16, 24), micro=7)
     dryrun_pp(len(jax.devices()), hw=(16, 24), micro=3)
+
+
+def test_dryrun_pp_small_mesh_prefix():
+    """Meshes smaller than the 5 refinement stages pipeline a prefix of
+    the chain (here stages 2..5 over 4 devices) instead of failing —
+    dryrun_flagship must complete on any n >= 2."""
+    dryrun_pp(4, hw=(8, 12), micro=3)
