@@ -27,6 +27,10 @@ actual CPM graphs would not have been caught):
    one-per-device (stacked stage weights sharded over a ``stage`` axis,
    microbatches flowing via ppermute, GPipe schedule), asserted equal
    to the monolithic net's stage-6 outputs.
+6. ``mesh2d.dryrun_dp_sp_train`` — the same full train graph on a
+   COMPOSED 2-axis mesh ((n/2)-way data x 2-way spatial: batch sharded
+   AND activations H-sharded with SPMD conv halo exchanges), loss and
+   updated params asserted equal to the single-device step.
 
 Shapes are reduced (crop/net res) so the run fits the driver's virtual
 CPU mesh, but the GRAPHS are the flagship ones: every layer type, the
@@ -185,6 +189,7 @@ def dryrun_tp_estimator(n_devices: int, est=None) -> None:
 def dryrun_flagship(n_devices: int) -> None:
     """The driver-visible multichip validation: all five flagship-graph
     shardings (see module docstring)."""
+    from .mesh2d import dryrun_dp_sp_train
     from .pp import dryrun_pp
 
     est = _flagship_estimator()
@@ -193,3 +198,8 @@ def dryrun_flagship(n_devices: int) -> None:
     dryrun_tp_estimator(n_devices, est)
     dryrun_pp(n_devices)
     dryrun_cpm_train(n_devices)
+    # composed 2-axis mesh: (n/2)-way DP x 2-way spatial on the same full
+    # 6-stage train graph, checked against the single-device step
+    # (reduced crop bounds the dryrun's compile time)
+    if n_devices % 2 == 0 and n_devices >= 4:
+        dryrun_dp_sp_train(n_devices, crop=96, spatial=2)

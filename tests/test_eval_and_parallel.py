@@ -150,3 +150,37 @@ class TestSpatialEstimator:
         np.testing.assert_array_equal(got[0][:, 0, 0], ref[0][:, 0, 0])
         np.testing.assert_allclose(got[0], ref[0], atol=2e-3)
         np.testing.assert_allclose(got[1], ref[1], atol=2e-2)
+
+
+class TestComposedMesh2D:
+    def test_dp_sp_train_step_matches_single_device(self):
+        """Composed 4x2 data x spatial mesh: one train step of the full
+        CPM train topology (reduced stages/crop for suite time) agrees
+        with the single-device step — loss and updated params."""
+        from caffe_rtpose_tpu.parallel.mesh2d import dryrun_dp_sp_train
+
+        dryrun_dp_sp_train(8, crop=48, batch=4, spatial=2, stages=2)
+
+    def test_mesh2d_shapes_and_sharding(self):
+        """Axis layout and input placement of the 2-axis mesh."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from caffe_rtpose_tpu.parallel.mesh2d import (make_mesh2d,
+                                                      shard_batch_2d)
+
+        mesh = make_mesh2d(8, spatial=2)
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("data", "spatial")
+        batch = {
+            "data": np.zeros((4, 16, 16, 3), np.float32),
+            "label": np.zeros((4, 8, 8, 10), np.float32),
+            "scalar_w": np.float32(1.0),
+        }
+        placed = shard_batch_2d(mesh, batch)
+        assert placed["data"].sharding.spec == P("data", "spatial", None, None)
+        assert placed["label"].sharding.spec == P("data", "spatial", None, None)
+        assert placed["scalar_w"].sharding.spec == P()
+
+        with pytest.raises(ValueError):
+            make_mesh2d(8, spatial=3)
