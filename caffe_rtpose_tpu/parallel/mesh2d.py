@@ -93,6 +93,38 @@ def make_dp_sp_train_step(mesh: Mesh, loss_fn, update_fn,
     return step
 
 
+def dp_tp_estimator_fn(mesh: Mesh, estimator,
+                       data_axis: str = "data", model_axis: str = "model"):
+    """The production fused estimator on a composed 2-axis mesh: the frame
+    BATCH sharded over ``data`` and every conv/FC weight channel-sharded
+    over ``model`` (the tp.py HBM-scaling placement).  Serves a batch of
+    frames with each replica group holding only 1/model_n of the weights.
+    Same signature as ``estimator._raw_fn``; outputs batch-sharded."""
+    from .tp import channel_spec
+
+    repl = NamedSharding(mesh, P())
+    raw = estimator._raw_fn
+
+    def batch_spec(a):
+        return NamedSharding(
+            mesh, P(data_axis, *([None] * (jnp.ndim(a) - 1)))
+            if jnp.ndim(a) >= 1 else P())
+
+    @jax.jit
+    def fn(params, image_phys, nms_thr, inter_thr):
+        params = jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, channel_spec(mesh, a, model_axis)), params)
+        image_phys = jax.lax.with_sharding_constraint(
+            image_phys, batch_spec(image_phys))
+        out = raw(params, image_phys, nms_thr, inter_thr)
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, batch_spec(a) if jnp.ndim(a) >= 1 else repl), out)
+
+    return fn
+
+
 def dryrun_dp_sp_train(n_devices: int, crop: Optional[int] = None,
                        batch: int = 8, spatial: int = 2,
                        stages: int = 6) -> None:

@@ -184,3 +184,39 @@ class TestComposedMesh2D:
 
         with pytest.raises(ValueError):
             make_mesh2d(8, spatial=3)
+
+    def test_dp_tp_batched_estimator_matches_single_device(self):
+        """Composed data x model mesh for serving: a 4-frame batch sharded
+        over `data` with every conv/FC weight channel-sharded over `model`
+        (each replica group holds half the weights) must reproduce the
+        single-device batched program frame-for-frame."""
+        import jax
+        import jax.numpy as jnp
+
+        from caffe_rtpose_tpu.models.cpm import make_pose_deploy_net
+        from caffe_rtpose_tpu.parallel.mesh2d import (dp_tp_estimator_fn,
+                                                      make_mesh2d)
+        from caffe_rtpose_tpu.parallel.tp import shard_params_channelwise
+        from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+
+        proto = make_pose_deploy_net("COCO", input_dim=(1, 3, 80, 128))
+        est = PoseEstimator(proto, net_resolution=(128, 80), num_scales=1,
+                            seed=5, batch=4, input_u8=True)
+        rs = np.random.RandomState(6)
+        x = (rs.rand(4, 1, 80, 128, 3) * 255).astype(np.uint8)
+        single = est.fetch_batch(est.run_device(x))
+
+        mesh = make_mesh2d(8, spatial=2, axes=("data", "model"))
+        fn = dp_tp_estimator_fn(mesh, est)
+        p = est.params_connect
+        xp = jnp.asarray(x)
+        with mesh:
+            params = shard_params_channelwise(mesh, est.net.params)
+            out = fn(params, xp, jnp.float32(p.nms_threshold),
+                     jnp.float32(p.inter_threshold))
+        sharded = est.fetch_batch(out)
+        assert len(sharded) == len(single) == 4
+        for (pk_s, sc_s, ct_s), (pk_r, sc_r, ct_r) in zip(sharded, single):
+            np.testing.assert_allclose(pk_s, pk_r, rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(sc_s, sc_r, rtol=2e-2, atol=2e-2)
+            np.testing.assert_array_equal(ct_s, ct_r)
