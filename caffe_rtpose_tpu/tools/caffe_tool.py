@@ -145,7 +145,15 @@ def cmd_train(args) -> int:
         from ..parallel.dp import make_mesh
 
         n = len(jax.devices()) if args.gpu == "all" else len(args.gpu.split(","))
-        if n > 1:
+        spatial = int(getattr(args, "spatial", 1) or 1)
+        if n > 1 and spatial > 1:
+            from ..parallel.mesh2d import make_mesh2d
+
+            mesh = make_mesh2d(n, spatial=spatial)
+            print(f"Composed mesh training over {n} devices: "
+                  f"{n // spatial}-way data x {spatial}-way spatial "
+                  f"(batch sharded AND activations H-sharded)")
+        elif n > 1:
             mesh = make_mesh(n)
             print(f"Data-parallel training over {n} devices; the prototxt "
                   f"batch_size is the GLOBAL batch, sharded {n} ways "
@@ -319,6 +327,10 @@ def build_parser():
     t = sub.add_parser("train")
     t.add_argument("--solver", required=True)
     t.add_argument("--gpu", default="", help="'all' or comma-separated device ids: data-parallel over a mesh")
+    t.add_argument("--spatial", type=int, default=1,
+                   help="with --gpu: also H-shard activations this many "
+                        "ways (composed data x spatial mesh, mesh2d.py); "
+                        "device count must be divisible by it")
     t.add_argument("--fused_labels", action="store_true",
                    help="pose training fast path: u8 upload + device label rasterization + prefetch")
     t.add_argument("--data", default="synthetic-pose")

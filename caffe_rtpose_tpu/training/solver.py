@@ -342,9 +342,16 @@ class Solver:
                             arr = lay.to_physical(arr)
                         inputs[k] = arr
                 if self.mesh is not None:
-                    from ..parallel.dp import shard_batch
+                    if "spatial" in self.mesh.axis_names:
+                        # composed data x spatial mesh (parallel/mesh2d.py):
+                        # batch over `data`, activations H-sharded
+                        from ..parallel.mesh2d import shard_batch_2d
 
-                    inputs = shard_batch(self.mesh, inputs)
+                        inputs = shard_batch_2d(self.mesh, inputs)
+                    else:
+                        from ..parallel.dp import shard_batch
+
+                        inputs = shard_batch(self.mesh, inputs)
                 (loss, (bn_aux, outs)), grads = self._grad(
                     self.net.params, inputs, jax.random.PRNGKey(self.it))
                 self.last_outputs = outs

@@ -309,3 +309,55 @@ def test_every_reference_cli_flag_accepted():
     assert not rt_missing, f"rtpose flags missing: {sorted(rt_missing)}"
     caffe_missing = flags(ref_caffe) - options(caffe_parser())
     assert not caffe_missing, f"caffe flags missing: {sorted(caffe_missing)}"
+
+
+CONV_TRAIN_NET = """
+input: "x" input_dim: 8 input_dim: 3 input_dim: 16 input_dim: 16
+input: "y" input_dim: 8 input_dim: 2 input_dim: 8 input_dim: 8
+layer { name: "c1" type: "Convolution" bottom: "x" top: "c1"
+  convolution_param { num_output: 4 pad: 1 kernel_size: 3
+    weight_filler { type: "msra" } } }
+layer { name: "r1" type: "ReLU" bottom: "c1" top: "c1" }
+layer { name: "p1" type: "Pooling" bottom: "c1" top: "p1"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layer { name: "c2" type: "Convolution" bottom: "p1" top: "c2"
+  convolution_param { num_output: 2 pad: 1 kernel_size: 3
+    weight_filler { type: "msra" } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "c2" bottom: "y" top: "loss" }
+"""
+
+
+def test_caffe_train_composed_mesh_matches_single(tmp_path, capsys):
+    """`caffe train --gpu all --spatial 2` (composed data x spatial mesh)
+    reaches the same weights as the single-device run."""
+    import h5py
+
+    from caffe_rtpose_tpu.proto.caffemodel import load_weights
+    from caffe_rtpose_tpu.tools.caffe_tool import main
+
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(CONV_TRAIN_NET)
+    rs = np.random.RandomState(0)
+    h5 = tmp_path / "data.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("x", data=rs.randn(8, 3, 16, 16).astype(np.float32))
+        f.create_dataset("y", data=rs.randn(8, 2, 8, 8).astype(np.float32))
+
+    weights = {}
+    for tag, extra in (("single", []), ("mesh2d", ["--gpu", "all", "--spatial", "2"])):
+        sp = tmp_path / f"solver_{tag}.prototxt"
+        sp.write_text(
+            f'net: "{net_path}"\nbase_lr: 0.02\nlr_policy: "fixed"\n'
+            f'momentum: 0.9\nmax_iter: 8\ndisplay: 0\nrandom_seed: 11\n'
+            f'snapshot_prefix: "{tmp_path}/{tag}"\n')
+        assert main(["train", "--solver", str(sp), "--data", str(h5)] + extra) == 0
+        weights[tag] = load_weights(f"{tmp_path}/{tag}_iter_8.caffemodel")
+
+    out = capsys.readouterr().out
+    assert "Composed mesh training over 8 devices" in out
+    single, mesh = weights["single"], weights["mesh2d"]
+    assert set(single) == set(mesh)
+    for name in single:
+        for a, b in zip(single[name], mesh[name]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
