@@ -50,11 +50,15 @@ def shard_batch_2d(mesh: Mesh, batch: Dict[str, jax.Array],
                    data_axis: str = "data",
                    spatial_axis: str = "spatial") -> Dict[str, jax.Array]:
     """Place physical-NHWC host arrays sharded batch-over-data and
-    H-over-spatial; rank<2 arrays are replicated."""
+    H-over-spatial; scalars are replicated.  Arrays whose H does not
+    divide the spatial axis fall back to data-only sharding (device
+    placement requires even splits; XLA still reshards activations
+    mid-graph where profitable)."""
+    n_sp = mesh.shape[spatial_axis]
     out = {}
     for k, v in batch.items():
         nd = np.ndim(v)
-        if nd >= 4:
+        if nd >= 4 and np.shape(v)[1] % n_sp == 0:
             spec = P(data_axis, spatial_axis, *([None] * (nd - 2)))
         elif nd >= 1:
             spec = P(data_axis)
@@ -73,9 +77,11 @@ def make_dp_sp_train_step(mesh: Mesh, loss_fn, update_fn,
     all-reduce over both axes from these annotations alone."""
     repl = NamedSharding(mesh, P())
 
+    n_sp = mesh.shape[spatial_axis]
+
     def in_spec(a):
         nd = jnp.ndim(a)
-        if nd >= 4:
+        if nd >= 4 and a.shape[1] % n_sp == 0:
             return NamedSharding(mesh, P(data_axis, spatial_axis,
                                          *([None] * (nd - 2))))
         return NamedSharding(mesh, P(data_axis) if nd >= 1 else P())

@@ -182,6 +182,10 @@ class TestComposedMesh2D:
         assert placed["label"].sharding.spec == P("data", "spatial", None, None)
         assert placed["scalar_w"].sharding.spec == P()
 
+        # odd H cannot split evenly over spatial -> data-only fallback
+        odd = shard_batch_2d(mesh, {"x": np.zeros((4, 23, 16, 3), np.float32)})
+        assert odd["x"].sharding.spec == P("data")
+
         with pytest.raises(ValueError):
             make_mesh2d(8, spatial=3)
 
