@@ -560,21 +560,36 @@ class RtPosePipeline:
             self._report()
 
     def _render(self, f: Frame) -> np.ndarray:
-        """Skeleton overlay onto the display frame (device render)."""
+        """Skeleton / heatmap / PAF overlay onto the display frame (device
+        render), dispatched exactly like the reference's render()
+        (examples/rtpose/rtpose.cpp:271-301):
+
+        COCO (18 parts): part_to_show 0 -> pose (googly mode included in
+        the kernel, renderFunctions.cu:588); 1..18 -> single heatmap
+        channel p2s-1; 19 -> all-parts overlay (heatmap2); 20 -> all 19
+        PAF pairs accumulated from channel 19; 21+ -> single PAF pairs
+        (channels 19, 21, ...).  MPI (15 parts): 0 -> pose, >0 -> heatmap
+        channel p2s-1 (render_mpi_parts:357-380; no PAF views).
+        """
         import jax
         import jax.numpy as jnp
 
         from ..pose.descriptor import RENDER_MAX_PEOPLE
-        from ..pose.render import render_pose
+        from ..pose.render import render_pose, render_pose_mpi
 
-        if self._renderer is None:
-            self._renderer = jax.jit(
-                lambda canv, poses, n: render_pose(
-                    canv, poses, n, num_parts=self.est.num_parts
-                )
-            )
+        P = self.est.num_parts
+        googly = bool(self.ui.googly_eyes) and P == 18
+        key = ("mpi" if P == 15 else "coco", googly)
+        if self._renderer is None or self._renderer[0] != key:
+            if P == 15:
+                fn = jax.jit(lambda canv, poses, n: render_pose_mpi(
+                    canv, poses, n))
+            else:
+                fn = jax.jit(lambda canv, poses, n: render_pose(
+                    canv, poses, n, num_parts=P, googly_eyes=googly))
+            self._renderer = (key, fn)
         maxp = RENDER_MAX_PEOPLE
-        poses = np.zeros((maxp, self.est.num_parts, 3), np.float32)
+        poses = np.zeros((maxp, P, 3), np.float32)
         n = min(f.num_people, maxp)
         if n:
             poses[:n] = f.joints[:n]
@@ -585,47 +600,24 @@ class RtPosePipeline:
             print("note: heatmap part views need the full-res maps; restart "
                   "with --part_to_show > 0 to enable them", flush=True)
         if p2s > 0 and f.heatmap is not None:
-            # heatmap views (render_pose_*_heatmap/affinity semantics):
-            # 1..P+1 single part/bkg channel, P+2 all parts, beyond: PAFs
-            import jax.numpy as _jnp
-
             from ..pose.render import render_all_parts, render_heatmap, render_paf
 
-            P = self.est.num_parts
-            maps = _jnp.asarray(f.heatmap)
-            if p2s <= P + 1:
+            maps = jnp.asarray(f.heatmap)
+            if P == 15 or p2s <= P:
                 out = render_heatmap(canvas, maps, p2s - 1, num_parts=P)
-            elif p2s == P + 2:
+            elif p2s == P + 1:  # 19: all-parts (rtpose.cpp:281 -> heatmap2)
                 out = render_all_parts(canvas, maps, num_parts=P)
-            else:
+            elif p2s == P + 2:  # 20: accumulated PAFs (rtpose.cpp:288-295)
+                out = render_paf(canvas, maps, P + 1, num_parts_accum=P + 1)
+            else:  # 21+: single PAF pairs from channel 19
                 paf_idx = P + 1 + 2 * (p2s - P - 3)
                 if paf_idx + 1 < maps.shape[0]:
                     out = render_paf(canvas, maps, paf_idx)
                 else:  # past the last PAF pair: fall back to the pose view
-                    out = self._renderer(canvas, jnp.asarray(poses), n)
+                    out = self._renderer[1](canvas, jnp.asarray(poses), n)
         else:
-            out = self._renderer(canvas, jnp.asarray(poses), n)
-        img = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
-        if self.ui.googly_eyes and n:
-            img = self._googly(img, poses[:n])
-        return img
-
-    @staticmethod
-    def _googly(img: np.ndarray, poses: np.ndarray) -> np.ndarray:
-        """Googly-eye overlay on the eye keypoints (COCO parts 14/15;
-        reference renderFunctions.cu googly mode)."""
-        img = np.ascontiguousarray(img)
-        for person in poses:
-            for pid in (14, 15):
-                if pid >= person.shape[0]:
-                    continue
-                x, y, conf = person[pid]
-                if conf <= 0.01:
-                    continue
-                r = max(6, int(0.02 * img.shape[0]))
-                cv2.circle(img, (int(x), int(y)), r, (255, 255, 255), -1)
-                cv2.circle(img, (int(x), int(y) + r // 3), max(2, r // 2), (0, 0, 0), -1)
-        return img
+            out = self._renderer[1](canvas, jnp.asarray(poses), n)
+        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
 
     def _report(self):
         window = self.stats[-30:]

@@ -1,18 +1,29 @@
-"""Skeleton / heatmap / PAF overlay rendering, matching the reference CUDA
-kernels (src/rtpose/renderFunctions.cu) geometry and blending:
+"""Skeleton / heatmap / PAF overlay rendering, pixel-parity with the
+reference CUDA kernels (src/rtpose/renderFunctions.cu), which
+tests/test_ref_render_parity.py EXECUTES unmodified via the cuda_emu shim:
 
-* render_pose: per-person bbox cull + size-adaptive scale factor
-  (render_pose_coco_parts:394-636): ellipse limbs (alpha 0.5) then joint
-  circles (alpha 0.6), radius = 2*h/200, stickwidth = h/120, optional googly
-  eyes; people and limbs blend sequentially in the reference order.
-* render_heatmap: one channel of the net-res maps bicubically sampled onto
-  the canvas (canvas->net mapping x_on_box = (x+0.5)*w_net/w_canvas - 0.5),
-  jet colormap, 50/50 blend (render_pose_coco_heatmap).
+* render_pose (COCO, render_pose_coco_parts:394-636): per-person bbox cull
+  + size-adaptive scale factor; ellipse limbs (alpha 0.5) then joint
+  circles (alpha 0.6), radius = 2*h/200, stickwidth = h/120; googly eyes
+  REPLACE the normal eye circles (:588-611).
+* render_pose_mpi (render_pose_29parts:124-242): no bbox cull / scale
+  factor, radius = 3*h/200, stickwidth = h/60, limb alpha 0.6, the l==0
+  head limb drawn as an ellipse RING (a_sqrt*1.2, judge in [0.8, 1]),
+  9-colour table cycled.
+* render_heatmap: one channel bicubically sampled onto the canvas
+  (x_on_box = (x+0.5)*w_net/w_canvas - 0.5), jet colormap.  COCO
+  (render_pose_coco_heatmap:638-724) blends alpha 0.7 with getColor's
+  B and R SWAPPED (b <- c[2], :715-717); MPI (:242-329) blends alpha 0.5
+  unswapped.  Out-of-box pixels keep the default value, which is 1 only
+  for part == num_parts-1 (the reference's quirk, :659/:259 — NOT the
+  background channel).
 * render_all_parts: nearest-sampled sum of value-weighted part colors,
-  alpha 0.7 (render_pose_coco_heatmap2:726-836).
-* render_paf: flow-colored (getColorXY) PAF overlay, bilinear when showing a
-  single limb field, nearest when accumulating all, alpha 0.7
-  (render_pose_coco_affinity:838-975).
+  alpha 0.7, out-of-box pixels blend toward black
+  (render_pose_coco_heatmap2:726-836; the __saturatef result is discarded
+  there, so values are NOT clamped).
+* render_paf: flow-colored (getColorXY) PAF overlay, bilinear when showing
+  a single limb field, nearest when accumulating, alpha 0.7, blended with
+  B and R swapped like the heatmap (render_pose_coco_affinity:838-975).
 
 Canvas layout here is (H, W, 3) float32 BGR in 0..255 (the reference uses
 planar BGR; interleaved is the TPU-friendly layout and converts at IO).
@@ -44,6 +55,13 @@ COLORS = np.array([
 LIMB_MPI = [0, 1, 2, 3, 3, 4, 5, 6, 6, 7, 8, 9, 9, 10, 11, 12, 12, 13]
 LIMB_COCO_NOEAR = [1, 2, 1, 5, 2, 3, 3, 4, 5, 6, 6, 7, 1, 8, 8, 9, 9, 10,
                    1, 11, 11, 12, 12, 13, 1, 0, 0, 14, 14, 16, 0, 15, 15, 17]
+
+# (R, G, B) 9-colour table of the MPI pose kernel (renderFunctions.cu:147-155)
+MPI_COLORS = np.array([
+    [255, 0, 0], [255, 170, 0], [170, 255, 0], [0, 255, 0],
+    [0, 255, 170], [0, 170, 255], [0, 0, 255], [170, 0, 255],
+    [255, 0, 170],
+], np.float32)
 
 
 def jet_color(v: jax.Array, vmin: float, vmax: float) -> jax.Array:
@@ -141,7 +159,9 @@ def render_pose(
             b_sqrt = sf * sf * stickwidth * stickwidth
             A = cosine * (xx - x_p) + sine * (yy - y_p)
             B = sine * (xx - x_p) - cosine * (yy - y_p)
-            judge = A * A / jnp.maximum(a_sqrt, 1e-12) + B * B / b_sqrt
+            # raw IEEE division: coincident endpoints give a_sqrt == 0 ->
+            # judge inf/nan -> comparisons false, exactly as the kernel
+            judge = A * A / a_sqrt + B * B / b_sqrt
             inside = draw & inbox & (judge >= 0) & (judge <= 1)
             co = colors[l % len(COLORS)]
             alpha = 0.5
@@ -162,6 +182,10 @@ def render_pose(
             maxr2 = sf * sf * radius * radius
             alpha = 0.6
             inside = draw & inbox & (dist2 <= maxr2)
+            if not isinstance(is_eye, bool):
+                # googly eyes REPLACE the normal circle for parts 14/15
+                # (renderFunctions.cu:588 else-branch)
+                inside = inside & ~is_eye
             rgb = jnp.stack([co[2], co[1], co[0]])
             canv = jnp.where(inside[..., None], (1 - alpha) * canv + alpha * rgb, canv)
             if isinstance(is_eye, bool):
@@ -176,6 +200,77 @@ def render_pose(
             col = jnp.where(((dist2 <= eminr2 * 0.6) & (dist3 > 3.75 * 3.75))[..., None], black, col)
             einside = draw & inbox & is_eye & (dist2 <= emaxr2)
             return jnp.where(einside[..., None], 0.1 * canv + 0.9 * col, canv)
+
+        return jax.lax.fori_loop(0, num_parts, part_body, canv)
+
+    return jax.lax.fori_loop(0, maxp, person_body, canvas)
+
+
+def render_pose_mpi(
+    canvas: jax.Array,  # (H, W, 3) f32 BGR 0..255
+    poses: jax.Array,  # (MAXP, 15, 3) display coords
+    num_people: jax.Array,  # traced int
+    threshold: float = 0.0,
+) -> jax.Array:
+    """MPI skeleton overlay (render_pose_29parts, renderFunctions.cu:124-242).
+
+    Geometry differs from the COCO kernel: radius = 3*h/200, stickwidth =
+    h/60, limb alpha 0.6, NO per-person bbox cull or size-adaptive scale,
+    and the head limb (l == 0) is an ellipse RING: a_sqrt scaled by 1.2,
+    b_sqrt = a_sqrt, judge accepted in [0.8, 1].  The host wrapper
+    (render_mpi_parts:366) passes threshold 0.
+    """
+    h, w, _ = canvas.shape
+    maxp = poses.shape[0]
+    num_parts = 15
+    nlimb = len(LIMB_MPI) // 2
+    limb_a = jnp.asarray(LIMB_MPI[0::2])
+    limb_b = jnp.asarray(LIMB_MPI[1::2])
+    colors = jnp.asarray(MPI_COLORS)
+    radius = 3 * h / 200.0
+    stickwidth = h / 60.0
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def person_body(p, canv):
+        active = p < num_people
+        pose_p = poses[p]
+
+        def limb_body(l, canv):
+            a, b_ = limb_a[l], limb_b[l]
+            xa, ya, va = pose_p[a, 0], pose_p[a, 1], pose_p[a, 2]
+            xb, yb, vb = pose_p[b_, 0], pose_p[b_, 1], pose_p[b_, 2]
+            draw = active & (va > threshold) & (vb > threshold)
+            x_p = (xa + xb) / 2
+            y_p = (ya + yb) / 2
+            angle = jnp.arctan2(yb - ya, xb - xa)
+            sine, cosine = jnp.sin(angle), jnp.cos(angle)
+            a_sqrt = (xa - x_p) ** 2 + (ya - y_p) ** 2
+            head = l == 0
+            a_sqrt = jnp.where(head, a_sqrt * 1.2, a_sqrt)
+            b_sqrt = jnp.where(head, a_sqrt,
+                               jnp.float32(stickwidth * stickwidth))
+            min_v = jnp.where(head, 0.8, 0.0)
+            A = cosine * (xx - x_p) + sine * (yy - y_p)
+            B = sine * (xx - x_p) - cosine * (yy - y_p)
+            judge = A * A / a_sqrt + B * B / b_sqrt
+            inside = draw & (judge >= min_v) & (judge <= 1)
+            co = colors[l % len(MPI_COLORS)]
+            alpha = 0.6
+            bgr = jnp.stack([co[2], co[1], co[0]])
+            return jnp.where(inside[..., None],
+                             (1 - alpha) * canv + alpha * bgr, canv)
+
+        canv = jax.lax.fori_loop(0, nlimb, limb_body, canv)
+
+        def part_body(i, canv):
+            lx, ly, val = pose_p[i, 0], pose_p[i, 1], pose_p[i, 2]
+            draw = active & (val > threshold)
+            dist2 = (xx - lx) ** 2 + (yy - ly) ** 2
+            co = colors[i % len(MPI_COLORS)]
+            inside = draw & (dist2 <= radius * radius)
+            bgr = jnp.stack([co[2], co[1], co[0]])
+            return jnp.where(inside[..., None], 0.6 * canv + 0.4 * bgr, canv)
 
         return jax.lax.fori_loop(0, num_parts, part_body, canv)
 
@@ -212,11 +307,18 @@ def render_heatmap(
     Ay, Ax = _box_matrices(h_net, w_net, h, w)
     plane = net_maps[part].astype(jnp.float32)
     up = jnp.asarray(Ay) @ plane @ jnp.asarray(Ax).T  # (h, w)
-    default = 1.0 if part == num_parts else 0.0  # bkg channel defaults to 1
+    # reference quirk: the out-of-box default is 1 only for the LAST part
+    # channel, not the background (renderFunctions.cu:659 / :259)
+    default = 1.0 if part == num_parts - 1 else 0.0
     valid = jnp.asarray(_box_valid(h_net, w_net, h, w))
     up = jnp.where(valid, up, default)
     vmin, vmax = (0.0, 1.0) if part < num_parts + 1 else (-1.0, 1.0)
     col = jet_color(up, vmin, vmax)
+    if num_parts == 18:
+        # COCO blends alpha 0.7 with getColor's B/R channels swapped
+        # (b <- c[2], renderFunctions.cu:715-717)
+        return 0.3 * canvas + 0.7 * col[..., ::-1]
+    # MPI blends alpha 0.5 unswapped (renderFunctions.cu:320-322)
     return 0.5 * canvas + 0.5 * col
 
 
@@ -230,6 +332,10 @@ def render_all_parts(canvas: jax.Array, net_maps: jax.Array, num_parts: int = 18
     colors = jnp.asarray(COLORS)[:num_parts]  # (P, 3) RGB
     acc_rgb = jnp.einsum("phw,pc->hwc", sampled, colors)
     acc_bgr = acc_rgb[..., ::-1]
+    # out-of-box pixels accumulate nothing and blend toward black
+    # (the kernel's bounds check, renderFunctions.cu:786)
+    valid = jnp.asarray(_box_valid(h_net, w_net, h, w))
+    acc_bgr = jnp.where(valid[..., None], acc_bgr, 0.0)
     return 0.3 * canvas + 0.7 * acc_bgr
 
 
@@ -273,4 +379,6 @@ def render_paf(
             vy = maps[p + 1][iy][:, ix]
             acc = acc + jnp.where(valid[..., None], flow_color(vx, vy), 0.0)
         col = jnp.minimum(acc, 255.0)
-    return 0.3 * canvas + 0.7 * col
+    # the kernel blends getColorXY's output with B/R swapped
+    # (b <- c[2], renderFunctions.cu:965-967), like the COCO heatmap
+    return 0.3 * canvas + 0.7 * col[..., ::-1]

@@ -62,6 +62,13 @@ def rewrite(src: str) -> str:
         if k < 0:
             out.append(src[pos:])
             break
+        # skip launches inside // comments (renderFunctions.cu keeps
+        # commented-out render_pose_website<<<...>>> variants around)
+        line_start = src.rfind("\n", 0, k) + 1
+        if "//" in src[line_start:k]:
+            out.append(src[pos : k + 3])
+            pos = k + 3
+            continue
         # kernel name: identifier immediately before <<<
         m = re.search(r"([A-Za-z_]\w*)\s*$", src[pos:k])
         assert m, "no kernel name before <<<"

@@ -22,9 +22,14 @@
 #ifndef REF_ORACLE_CUDA_EMU_H_
 #define REF_ORACLE_CUDA_EMU_H_
 
+#include <cmath>
 #include <functional>
 
 #include "cuda_runtime.h" /* stub: dim3, cudaError_t, ... */
+
+/* getColorXY (renderFunctions.cu:98) calls ::isnan(float); CUDA device
+ * code has it in the global namespace, libstdc++ only in std::. */
+static inline bool isnan(float x) { return std::isnan(x); }
 
 #define __global__
 #define __device__

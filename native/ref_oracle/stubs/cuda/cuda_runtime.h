@@ -50,6 +50,26 @@ struct dim3 {
       : x(X), y(Y), z(Z) {}
 };
 
+/* vector types used by the render kernels (renderFunctions.cu:405-407,540) */
+struct float2 {
+  float x, y;
+};
+static inline float2 make_float2(float x, float y) {
+  float2 v;
+  v.x = x;
+  v.y = y;
+  return v;
+}
+struct float3 {
+  float x, y, z;
+};
+
+/* render_pose_coco_heatmap2 calls __saturatef and DISCARDS the result
+ * (renderFunctions.cu:817) — the stub only needs to exist. */
+static inline float __saturatef(float x) {
+  return x < 0.f ? 0.f : (x > 1.f ? 1.f : x);
+}
+
 /* Slack past the requested size mirrors real CUDA allocation granularity:
  * nms_register_kernel's rounded-up grid writes up to a few rows past the
  * workspace/top blob when W or H is not a multiple of 16 (phantom threads
