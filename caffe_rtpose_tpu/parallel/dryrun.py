@@ -203,3 +203,7 @@ def dryrun_flagship(n_devices: int) -> None:
     # (reduced crop bounds the dryrun's compile time)
     if n_devices % 2 == 0 and n_devices >= 4:
         dryrun_dp_sp_train(n_devices, crop=96, spatial=2)
+    else:
+        print(f"dryrun: composed data x spatial mesh SKIPPED "
+              f"(needs an even device count >= 4, have {n_devices})",
+              flush=True)

@@ -48,20 +48,33 @@ def make_mesh2d(n_devices: Optional[int] = None,
 
 def shard_batch_2d(mesh: Mesh, batch: Dict[str, jax.Array],
                    data_axis: str = "data",
-                   spatial_axis: str = "spatial") -> Dict[str, jax.Array]:
-    """Place physical-NHWC host arrays sharded batch-over-data and
-    H-over-spatial; scalars are replicated.  Arrays whose H does not
-    divide the spatial axis fall back to data-only sharding (device
-    placement requires even splits; XLA still reshards activations
-    mid-graph where profitable)."""
+                   spatial_axis: str = "spatial",
+                   nhwc_keys: Optional[set] = None) -> Dict[str, jax.Array]:
+    """Place host arrays sharded batch-over-data and H-over-spatial;
+    scalars are replicated.  Each dimension falls back to replication
+    independently when it does not divide its mesh axis (device placement
+    requires even splits; XLA still reshards activations mid-graph where
+    profitable) — e.g. batch 10 on a 4x2 mesh keeps the H shard and
+    replicates the batch dim instead of raising.
+
+    ``nhwc_keys``, when given, names the arrays known to be in physical
+    NHWC layout; only those get dim 1 spatial-sharded.  Other 4-D arrays
+    (e.g. still caffe-NCHW) are batch-sharded only, so a channel count
+    that happens to divide the spatial axis is never silently H-sharded.
+    """
     n_sp = mesh.shape[spatial_axis]
+    n_dp = mesh.shape[data_axis]
     out = {}
     for k, v in batch.items():
         nd = np.ndim(v)
-        if nd >= 4 and np.shape(v)[1] % n_sp == 0:
-            spec = P(data_axis, spatial_axis, *([None] * (nd - 2)))
+        shape = np.shape(v)
+        d0 = data_axis if nd >= 1 and shape[0] % n_dp == 0 else None
+        spatial_ok = (nd >= 4 and shape[1] % n_sp == 0
+                      and (nhwc_keys is None or k in nhwc_keys))
+        if spatial_ok:
+            spec = P(d0, spatial_axis, *([None] * (nd - 2)))
         elif nd >= 1:
-            spec = P(data_axis)
+            spec = P(d0)
         else:
             spec = P()
         out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
@@ -78,13 +91,15 @@ def make_dp_sp_train_step(mesh: Mesh, loss_fn, update_fn,
     repl = NamedSharding(mesh, P())
 
     n_sp = mesh.shape[spatial_axis]
+    n_dp = mesh.shape[data_axis]
 
     def in_spec(a):
         nd = jnp.ndim(a)
+        d0 = data_axis if nd >= 1 and a.shape[0] % n_dp == 0 else None
         if nd >= 4 and a.shape[1] % n_sp == 0:
-            return NamedSharding(mesh, P(data_axis, spatial_axis,
+            return NamedSharding(mesh, P(d0, spatial_axis,
                                          *([None] * (nd - 2))))
-        return NamedSharding(mesh, P(data_axis) if nd >= 1 else P())
+        return NamedSharding(mesh, P(d0) if nd >= 1 else P())
 
     @jax.jit
     def step(params, history, inputs, rng, lr, it):

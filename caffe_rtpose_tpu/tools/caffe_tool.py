@@ -158,6 +158,14 @@ def cmd_train(args) -> int:
             print(f"Data-parallel training over {n} devices; the prototxt "
                   f"batch_size is the GLOBAL batch, sharded {n} ways "
                   f"(scale it by {n} for Caffe's per-GPU weak-scaling)")
+        elif spatial > 1:
+            print(f"warning: --spatial {spatial} ignored — it needs a "
+                  f"multi-device mesh, but --gpu resolved to {n} device(s); "
+                  f"training single-device", flush=True)
+    elif int(getattr(args, "spatial", 1) or 1) > 1:
+        print(f"warning: --spatial {args.spatial} ignored — spatial "
+              f"sharding composes with data parallelism; pass --gpu "
+              f"all (or a device list) to build the mesh", flush=True)
 
     # test nets from the solver param (test_net files / the shared net at
     # TEST phase, with per-net test_iter — tools/caffe.cpp + Solver::Init)

@@ -344,10 +344,17 @@ class Solver:
                 if self.mesh is not None:
                     if "spatial" in self.mesh.axis_names:
                         # composed data x spatial mesh (parallel/mesh2d.py):
-                        # batch over `data`, activations H-sharded
+                        # batch over `data`, activations H-sharded — only
+                        # arrays known to be physical NHWC get dim 1
+                        # spatial-sharded
                         from ..parallel.mesh2d import shard_batch_2d
 
-                        inputs = shard_batch_2d(self.mesh, inputs)
+                        nhwc = {k for k, v in inputs.items()
+                                if (i := self.net.blob_infos.get(k))
+                                is not None and i.nhwc
+                                and jnp.ndim(v) == 4}
+                        inputs = shard_batch_2d(self.mesh, inputs,
+                                                nhwc_keys=nhwc)
                     else:
                         from ..parallel.dp import shard_batch
 

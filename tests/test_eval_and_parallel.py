@@ -186,6 +186,24 @@ class TestComposedMesh2D:
         odd = shard_batch_2d(mesh, {"x": np.zeros((4, 23, 16, 3), np.float32)})
         assert odd["x"].sharding.spec == P("data")
 
+        # batch 10 does not divide the 4-way data axis (the CPM flagship
+        # batch size): the batch dim replicates instead of raising, the H
+        # shard is kept (round-3 advisor finding)
+        b10 = shard_batch_2d(mesh, {"x": np.zeros((10, 16, 16, 3), np.float32)})
+        assert b10["x"].sharding.spec == P(None, "spatial", None, None)
+
+        # nhwc_keys restricts spatial sharding to physical-NHWC arrays: a
+        # caffe-NCHW array whose channel count divides the spatial axis
+        # must NOT get dim 1 sharded
+        nchw = shard_batch_2d(
+            mesh,
+            {"img": np.zeros((4, 16, 16, 3), np.float32),
+             "raw": np.zeros((4, 4, 16, 16), np.float32)},
+            nhwc_keys={"img"},
+        )
+        assert nchw["img"].sharding.spec == P("data", "spatial", None, None)
+        assert nchw["raw"].sharding.spec == P("data")
+
         with pytest.raises(ValueError):
             make_mesh2d(8, spatial=3)
 
