@@ -153,32 +153,76 @@ def oks(gt: np.ndarray, dt: np.ndarray, area: float) -> float:
     return float(np.mean(np.exp(-e)))
 
 
-def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
-                     thresholds=None) -> Dict[str, float]:
-    """Self-contained OKS AP (averaged over thresholds .5:.05:.95)."""
-    thresholds = thresholds if thresholds is not None else np.arange(0.5, 1.0, 0.05)
+def _dt_area(kp: np.ndarray) -> float:
+    """Detection area: tight keypoint bbox, as pycocotools loadRes computes
+    it for keypoint results (cocoapi COCO.loadRes)."""
+    xs, ys = kp[:, 0], kp[:, 1]
+    return float((xs.max() - xs.min()) * (ys.max() - ys.min()))
+
+
+# COCOeval keypoint area ranges (cocoapi Params.setKpParams)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def _ap_one_range(gts, dts, thresholds, area_rng, max_dets):
+    """AP at one area range, COCOeval semantics: GTs outside the range (or
+    with no visible keypoint) are IGNORE — detections matched to them are
+    dropped from scoring, as are unmatched detections whose own keypoint
+    bbox falls outside the range; top max_dets detections per image by
+    score (COCO keypoints: maxDets=20)."""
+    lo, hi = area_rng
     ap_per_t = []
+    npos = sum(
+        1
+        for gt_list in gts.values()
+        for gt in gt_list
+        if lo <= gt["area"] <= hi and (gt["keypoints"][:, 2] > 0).any()
+    )
     for t in thresholds:
-        tp, fp, npos = 0, 0, 0
-        scored = []  # (score, is_tp)
-        for img_id, gt_list in gts.items():
-            npos += len(gt_list)
+        scored = []  # (score, is_tp) for non-ignored detections
         for img_id, dt_list in sorted(dts.items()):
             gt_list = gts.get(img_id, [])
+            # ignored GTs sort last, matching COCOeval's gtind ordering
+            order = sorted(
+                range(len(gt_list)),
+                key=lambda i: (
+                    not (lo <= gt_list[i]["area"] <= hi)
+                    or not (gt_list[i]["keypoints"][:, 2] > 0).any()
+                ),
+            )
             taken = [False] * len(gt_list)
-            for dt in sorted(dt_list, key=lambda d: -d["score"]):
-                best, best_i = 0.0, -1
-                for i, gt in enumerate(gt_list):
+            dts_ranked = sorted(dt_list, key=lambda d: -d["score"])[:max_dets]
+            for dt in dts_ranked:
+                best, best_i, best_ignore = None, -1, False
+                for i in order:
+                    gt = gt_list[i]
                     if taken[i]:
                         continue
+                    ignore = not (lo <= gt["area"] <= hi) or not (
+                        gt["keypoints"][:, 2] > 0
+                    ).any()
+                    # once a regular match is made, ignored GTs (sorted
+                    # last) cannot steal it (COCOeval's break)
+                    if best_i >= 0 and not best_ignore and ignore:
+                        break
                     o = oks(gt["keypoints"], dt["keypoints"], gt["area"])
-                    if o > best:
-                        best, best_i = o, i
-                if best >= t and best_i >= 0:
+                    if o < (t if best is None else best):
+                        continue
+                    best, best_i, best_ignore = o, i, ignore
+                if best_i >= 0:
                     taken[best_i] = True
-                    scored.append((dt["score"], 1))
+                    if not best_ignore:
+                        scored.append((dt["score"], 1))
+                    # matched to an ignored GT: dropped entirely
                 else:
-                    scored.append((dt["score"], 0))
+                    dt_a = _dt_area(dt["keypoints"])
+                    if lo <= dt_a <= hi:
+                        scored.append((dt["score"], 0))
+                    # unmatched + outside the range: dropped
         if npos == 0:
             continue
         scored.sort(key=lambda s: -s[0])
@@ -189,14 +233,31 @@ def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
             continue
         rec = tps / npos
         prec = tps / np.maximum(tps + fps, 1)
-        # 101-point interpolation
+        # 101-point interpolation over the precision envelope
         ap = 0.0
         for r in np.linspace(0, 1, 101):
             p = prec[rec >= r].max() if (rec >= r).any() else 0.0
             ap += p / 101
         ap_per_t.append(ap)
-    return {"AP": float(np.mean(ap_per_t)) if ap_per_t else 0.0,
-            "AP50": float(ap_per_t[0]) if ap_per_t else 0.0}
+    return ap_per_t
+
+
+def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
+                     thresholds=None, max_dets: int = 20) -> Dict[str, float]:
+    """Self-contained OKS AP (averaged over thresholds .5:.05:.95), COCOeval
+    keypoint protocol: maxDets=20, area ranges all/medium/large, ignored-GT
+    handling.  Cross-validated against hand-computed fixtures and (when
+    installed) pycocotools in tests/test_coco_ap_fixtures.py."""
+    thresholds = thresholds if thresholds is not None else np.arange(0.5, 1.0, 0.05)
+    out: Dict[str, float] = {}
+    for name, rng in AREA_RANGES.items():
+        ap_per_t = _ap_one_range(gts, dts, thresholds, rng, max_dets)
+        key = "AP" if name == "all" else f"AP_{name}"
+        out[key] = float(np.mean(ap_per_t)) if ap_per_t else 0.0
+        if name == "all":
+            out["AP50"] = float(ap_per_t[0]) if ap_per_t else 0.0
+            out["AP75"] = float(ap_per_t[5]) if len(ap_per_t) > 5 else 0.0
+    return out
 
 
 def cmd_coco_ap(args) -> int:
@@ -244,7 +305,10 @@ def main(argv=None) -> int:
     r.add_argument("--net_resolution", default="656x368")
     r.add_argument("--display", type=lambda s: tuple(int(v) for v in s.split("x")),
                    default=(1280, 720))
-    r.add_argument("--dtype", default="bfloat16")
+    # float32 is the parity configuration: the 1px/0.01 joint-diff criterion
+    # (README divergence #5) is defined against f32 runs.  bf16 is the
+    # explicit fast path (--dtype bfloat16).
+    r.add_argument("--dtype", default="float32")
     r.add_argument("--limit", type=int, default=0)
     r.set_defaults(fn=cmd_run_list)
 
