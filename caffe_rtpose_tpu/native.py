@@ -25,9 +25,11 @@ _tried = False
 _generic_libs: dict = {}
 
 
-def load_lib(name: str) -> Optional[ctypes.CDLL]:
+def load_lib(name: str, extra_flags: tuple = ()) -> Optional[ctypes.CDLL]:
     """Build (if stale) + load native/<name>.cpp as lib<name>.so.  Returns
-    None when the toolchain is unavailable; callers fall back to Python."""
+    None when the toolchain is unavailable; callers fall back to Python.
+    extra_flags: additional compile/link arguments (e.g. OpenCV includes
+    and libs for cvwarp.cpp)."""
     with _lock:
         if name in _generic_libs:
             return _generic_libs[name]
@@ -42,7 +44,8 @@ def load_lib(name: str) -> Optional[ctypes.CDLL]:
             )
             if stale:
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", lib_path],
+                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src,
+                     "-o", lib_path, *extra_flags],
                     check=True, capture_output=True,
                 )
             # a prebuilt lib without its source (stripped install) still loads

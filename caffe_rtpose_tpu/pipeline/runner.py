@@ -88,6 +88,16 @@ class PipelineConfig:
     fullscreen: bool = False
     no_text: bool = False
     frame_limit: Optional[int] = None  # extension: bound processed frames
+    # extension: start with a non-default NMS threshold (the reference only
+    # reaches other values through the -/= keyboard tuning, rtpose.cpp:1617)
+    nms_threshold: Optional[float] = None
+    # drop policy: "reference" = drop only frames already older than the
+    # 0.1 s line at dispatch (rtpose.cpp:1112-1124); "predictive"
+    # (extension) = additionally shed-to-newest — when the device-service
+    # EMA predicts a frame would FINISH past the 0.1 s line and a fresher
+    # frame is already waiting, drop it before wasting service on it, so
+    # tunnel service-time excursions cannot stack wait onto later frames
+    drop_policy: str = "reference"
     fetchers: int = 4
     queue_depth: int = 8
     dispatchers: int = 1  # upload/dispatch threads (overlap H2D with dispatch)
@@ -289,6 +299,7 @@ class RtPosePipeline:
         self.processed = 0
         self.dropped = 0  # frames discarded by the 0.1 s drop policy
         self._dropped_lock = threading.Lock()
+        self._service_ema: Optional[float] = None  # predictive-shed input
         # optional injected source of (frame_number, bgr, path) tuples —
         # used by bench.py to feed synthetic frames through the production
         # pipeline (preprocess included) without video IO
@@ -303,7 +314,8 @@ class RtPosePipeline:
         self.ui = UIState(
             part_to_show=cfg.part_to_show,
             fullscreen=cfg.fullscreen,
-            nms_threshold=pc.nms_threshold,
+            nms_threshold=(pc.nms_threshold if cfg.nms_threshold is None
+                           else cfg.nms_threshold),
             inter_threshold=pc.inter_threshold,
             min_subset_score=pc.min_subset_score,
             min_subset_cnt=pc.min_subset_cnt,
@@ -333,7 +345,11 @@ class RtPosePipeline:
             net_in = self.est.make_input(display)
             count += 1
             f = Frame(
-                index=count, video_frame_number=vfn, scale=scale,
+                # the reference Frame stores scale as a float (frame.h:24),
+                # and the JSON writer divides by THAT narrowed value
+                # (rtpose.cpp:1384) — keep the f32 rounding for byte parity
+                index=count, video_frame_number=vfn,
+                scale=float(np.float32(scale)),
                 ori_width=img.shape[1], ori_height=img.shape[0],
                 display=display, net_input=net_in, source_path=path,
             )
@@ -369,11 +385,18 @@ class RtPosePipeline:
                     done = True
                     break
                 # drop policy (rtpose.cpp:1112-1124)
-                if not cfg.no_frame_drops and time.time() - f.commit_time > 0.1:
-                    reorder.push_dropped(f.index)
-                    with self._dropped_lock:  # N dispatcher threads share it
-                        self.dropped += 1
-                    continue
+                if not cfg.no_frame_drops:
+                    age = time.time() - f.commit_time
+                    drop = age > 0.1
+                    if not drop and cfg.drop_policy == "predictive":
+                        ema = self._service_ema
+                        drop = (ema is not None and age + ema > 0.1
+                                and not input_q.empty())
+                    if drop:
+                        reorder.push_dropped(f.index)
+                        with self._dropped_lock:  # N dispatchers share it
+                            self.dropped += 1
+                        continue
                 batch.append(f)
             if batch:
                 # per-frame threshold injection (NmsLayer::SetThreshold +
@@ -383,12 +406,13 @@ class RtPosePipeline:
                 else:
                     pad = [batch[-1].net_input] * (B - len(batch))
                     x = np.stack([f.net_input for f in batch] + pad)
+                t_disp = time.time()
                 out = self.pool.run_device(
                     x,
                     nms_threshold=self.ui.nms_threshold,
                     inter_threshold=self.ui.inter_threshold,
                 )
-                inflight_q.put((batch, out))
+                inflight_q.put((batch, out, t_disp))
             if done:
                 # wake sibling dispatchers, then signal the fetchers once
                 # the last dispatcher drains (they share one counter)
@@ -414,7 +438,7 @@ class RtPosePipeline:
             if item is None:
                 output_q.put(None)
                 return
-            frames, out = item
+            frames, out, t_disp = item
             ui = self.ui
             pc = dataclasses.replace(
                 est.params_connect,
@@ -448,6 +472,12 @@ class RtPosePipeline:
                     f.heatmap = np.asarray(_jax.device_get(out["heatmap"]))
                 f.gpu_fetched_time = f.postprocessed_time = time.time()
                 output_q.put(f)
+            # device-service EMA for the predictive shed policy (dispatch
+            # to fetch-complete, per batch); GIL makes the write atomic
+            service = time.time() - t_disp
+            ema = self._service_ema
+            self._service_ema = (service if ema is None
+                                 else 0.7 * ema + 0.3 * service)
 
     def _writer(self, output_q: BlockingQueue, reorder: OrderedBuffer):
         cfg = self.cfg

@@ -25,6 +25,36 @@ def display_scale(ori_w: int, ori_h: int, disp_w: int, disp_h: int) -> float:
     return disp_h / float(ori_h)
 
 
+def _native_warp():
+    """ctypes handle to native/cvwarp.cpp (the reference warpAffine built
+    against the SYSTEM OpenCV), or None.  Opt-in via CRT_NATIVE_WARP=1:
+    bicubic warp pixels are OpenCV-version-dependent, so byte parity with
+    an rtpose.bin linked against the distro OpenCV needs this path; the
+    default python-cv2 path differs only by that library version drift."""
+    import os
+
+    if os.environ.get("CRT_NATIVE_WARP") != "1":
+        return None
+    import ctypes
+
+    from .. import native
+
+    lib = native.load_lib(
+        "cvwarp",
+        extra_flags=("-I/usr/include/opencv4", "-lopencv_core",
+                     "-lopencv_imgproc"),
+    )
+    if lib is not None and not getattr(lib, "_crt_warp_ready", False):
+        lib.crt_warp_display.restype = ctypes.c_int
+        lib.crt_warp_display.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ]
+        lib._crt_warp_ready = True
+    return lib
+
+
 def warp_to_display(img_bgr: np.ndarray, disp_w: int, disp_h: int) -> Tuple[np.ndarray, float]:
     """Scale about the origin into a (disp_h, disp_w) canvas, black-padded
     bottom/right (cv2.warpAffine with a diagonal matrix, CV_INTER_CUBIC)."""
@@ -37,6 +67,20 @@ def warp_to_display(img_bgr: np.ndarray, disp_w: int, disp_h: int) -> Tuple[np.n
         # warpAffine is byte-identical — and it is ~22 ms/frame of single
         # -core host time at 720p, the realtime producer's biggest cost
         return img_bgr, scale
+    lib = _native_warp()
+    if lib is not None:
+        import ctypes
+
+        src = np.ascontiguousarray(img_bgr, np.uint8)
+        dst = np.empty((disp_h, disp_w, 3), np.uint8)
+        rc = lib.crt_warp_display(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            src.shape[0], src.shape[1], float(scale),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            disp_h, disp_w,
+        )
+        if rc == 0:
+            return dst, scale
     M = np.array([[scale, 0, 0], [0, scale, 0]], np.float64)
     warped = cv2.warpAffine(
         img_bgr, M, (disp_w, disp_h), flags=cv2.INTER_CUBIC,

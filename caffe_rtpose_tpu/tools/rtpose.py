@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(logged), so results are always exact (0 = uncapped)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                    help="(extension) CNN compute dtype")
+    p.add_argument("--nms_threshold", type=float, default=None,
+                   help="(extension) starting NMS threshold — the value the "
+                        "reference only reaches via the -/= keyboard tuning "
+                        "(rtpose.cpp:1617); default = the model descriptor's")
     p.add_argument("--device_rescale", action="store_true",
                    help="(extension, documented divergence) multi-scale: "
                         "upload only the largest scale and derive smaller "
@@ -178,6 +182,7 @@ def _run_pipeline(est, args) -> int:
         no_display=args.no_display or os.environ.get("DISPLAY") is None,
         part_to_show=args.part_to_show, fullscreen=args.fullscreen,
         no_text=args.no_text, frame_limit=args.frame_limit,
+        nms_threshold=args.nms_threshold,
     )
     pipe = RtPosePipeline(est, cfg)
     n = pipe.run()

@@ -36,17 +36,23 @@ build "$REF/src/caffe/cpm/layers/imresize_layer.cpp" \
     "$BUILD/imresize_layer.o" -include "$HERE/stubs/opencv_legacy.h"
 build "$REF/src/caffe/cpm/layers/nms_layer.cpp" "$BUILD/nms_layer.o"
 build "$HERE/connect_driver.cpp" "$BUILD/connect_driver.o" $RTPOSE_FLAGS
+build "$HERE/producer_driver.cpp" "$BUILD/producer_driver.o" $RTPOSE_FLAGS
 
-# every base-oracle object except its own main
+# every base-oracle object except its own main and the per-binary drivers
 OBJS=""
 for o in "$BUILD"/*.o; do
   case "$(basename "$o")" in
-    main.o) ;;
+    main.o|connect_driver.o|producer_driver.o) ;;
     *) OBJS="$OBJS $o" ;;
   esac
 done
 
-$CXX $OBJS -o "$BUILD/ref_connect" -lprotobuf -lpthread \
-    -lopencv_core -lopencv_imgproc -lopencv_imgcodecs -lopencv_highgui \
-    -lopencv_videoio
+LIBS="-lprotobuf -lpthread
+  -lopencv_core -lopencv_imgproc -lopencv_imgcodecs -lopencv_highgui
+  -lopencv_videoio"
+$CXX $OBJS "$BUILD/connect_driver.o" -o "$BUILD/ref_connect" $LIBS
 echo "built $BUILD/ref_connect"
+# same reference objects, different driver: runs the ACTUAL image-dir
+# producer (getFrameFromDir/process_and_pad_image) instead of connectLimbs
+$CXX $OBJS "$BUILD/producer_driver.o" -o "$BUILD/ref_producer" $LIBS
+echo "built $BUILD/ref_producer"

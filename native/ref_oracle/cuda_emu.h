@@ -22,14 +22,17 @@
 #ifndef REF_ORACLE_CUDA_EMU_H_
 #define REF_ORACLE_CUDA_EMU_H_
 
+/* getColorXY (renderFunctions.cu:98) calls ::isnan(float); CUDA device
+ * code has it in the global namespace.  Including <math.h> (not just
+ * <cmath>) makes libstdc++'s C-compatibility header inject the float/
+ * double overloads into the global namespace portably — declaring our own
+ * ::isnan(float) conflicts with libstdc++ >= 12's constexpr declaration. */
+#include <math.h>
+
 #include <cmath>
 #include <functional>
 
 #include "cuda_runtime.h" /* stub: dim3, cudaError_t, ... */
-
-/* getColorXY (renderFunctions.cu:98) calls ::isnan(float); CUDA device
- * code has it in the global namespace, libstdc++ only in std::. */
-static inline bool isnan(float x) { return std::isnan(x); }
 
 #define __global__
 #define __device__

@@ -96,13 +96,16 @@ def _peak_values(heat):
     return [c[i][m[i]] for i in range(heat.shape[0])]
 
 
-def _calibrate_threshold(heat, max_peaks):
+def _calibrate_threshold(heat, max_peaks, need=None):
     """Threshold keeping every channel safely under max_peaks (see module
     docstring on the reference's overflow UB), placed MID-GAP between the
     actual maxima values so float rounding between the two implementations
-    cannot flip a borderline peak."""
+    cannot flip a borderline peak.  ``need`` caps peaks per channel (default
+    max_peaks - 4); smaller values also thin the greedy-assembly candidate
+    set, which reduces near-tie score pairs that cross-implementation float
+    noise could flip (test_ref_image_e2e relies on this)."""
     vals = _peak_values(heat)
-    need = max_peaks - 4
+    need = (max_peaks - 4) if need is None else need
     cut = 0.0  # minimum threshold such that every channel count <= need
     for v in vals:
         if v.size > need:
@@ -115,10 +118,48 @@ def _calibrate_threshold(heat, max_peaks):
     return max(thr, 1e-3 * float(np.abs(heat).max()))
 
 
-def _composed_case(oracles, tmp, proto_src, mode, net_w, net_h,
-                   num_scales, start_scale, scale_gap, seed):
+def reseed_weights(est, rs):
+    """Reseed an estimator's weights deterministically (He gain: this net
+    is ~45 ReLU-conv layers deep — smaller gains collapse activations to
+    ~2^-45, underflowing the estimator's f16 pair-score packing).  Shared
+    by the composed-e2e and image-e2e suites."""
     import jax.numpy as jnp
 
+    for name in sorted(est.net.params):
+        new = []
+        for p in est.net.params[name]:
+            a = np.asarray(p)
+            fan_in = a.size // a.shape[-1] if a.ndim > 1 else a.size
+            new.append(jnp.asarray(
+                (rs.randn(*a.shape) * np.sqrt(2.0 / max(fan_in, 1))).astype(np.float32)))
+        est.net.params[name] = new
+
+
+def normalize_branches(est, probe_input):
+    """Normalize each final branch conv (the only consumers of its output)
+    so the 57-channel maps have healthy magnitude on `probe_input`: a
+    depth-45 seeded net otherwise drifts orders of magnitude, breaking
+    absolute thresholds and the estimator's f16 pair-score packing.
+    Scaling a final conv's W and b scales its output linearly, so parity
+    is unaffected (the rescaled weights are what both sides load)."""
+    import jax.numpy as jnp
+
+    producers = {t: lv for lv in est.net.layer_views for t in lv.top}
+    concat_lv = producers[est.heatmap_blob if est.lowres_blob is None
+                          else est.lowres_blob]
+    branch_tops = list(concat_lv.bottom)
+    acts = est.net.forward({"image": probe_input}, outputs=branch_tops)
+    for b in branch_tops:
+        lname = producers[b].name
+        a = np.asarray(acts[b])  # (N, C, h, w) caffe layout
+        std_c = a.std(axis=(0, 2, 3)).astype(np.float32)
+        s = (0.25 / np.maximum(std_c, 1e-20)).astype(np.float32)
+        W, bias = [np.asarray(p) for p in est.net.params[lname]]
+        est.net.params[lname] = [jnp.asarray(W * s), jnp.asarray(bias * s)]
+
+
+def _composed_case(oracles, tmp, proto_src, mode, net_w, net_h,
+                   num_scales, start_scale, scale_gap, seed):
     from caffe_rtpose_tpu.pipeline.runner import write_json_file
     from caffe_rtpose_tpu.pose.estimator import PoseEstimator
     from caffe_rtpose_tpu.pose.preprocess import preprocess_frame
@@ -133,17 +174,7 @@ def _composed_case(oracles, tmp, proto_src, mode, net_w, net_h,
         seed=seed,
     )
     rs = np.random.RandomState(seed)
-    for name in sorted(est.net.params):
-        new = []
-        for p in est.net.params[name]:
-            a = np.asarray(p)
-            fan_in = a.size // a.shape[-1] if a.ndim > 1 else a.size
-            # He gain: this net is ~45 ReLU-conv layers deep — smaller
-            # gains collapse activations to ~2^-45, underflowing the
-            # estimator's f16 pair-score packing
-            new.append(jnp.asarray(
-                (rs.randn(*a.shape) * np.sqrt(2.0 / max(fan_in, 1))).astype(np.float32)))
-        est.net.params[name] = new
+    reseed_weights(est, rs)
     num_parts, max_peaks = est.num_parts, est.max_peaks
     pc = est.params_connect
 
@@ -155,24 +186,7 @@ def _composed_case(oracles, tmp, proto_src, mode, net_w, net_h,
     )
     net_input = pf.net_input  # (S, 3, net_h, net_w) float32
 
-    # normalize each final branch conv (the only consumers of its output)
-    # so the 57-channel maps have healthy magnitude: a depth-45 seeded net
-    # otherwise drifts orders of magnitude, breaking absolute thresholds
-    # and the estimator's f16 pair-score packing.  Scaling a final conv's
-    # W and b scales its output linearly, so parity is unaffected (the
-    # rescaled weights are what both sides load).
-    producers = {t: lv for lv in est.net.layer_views for t in lv.top}
-    concat_lv = producers[est.heatmap_blob if est.lowres_blob is None
-                          else est.lowres_blob]
-    branch_tops = list(concat_lv.bottom)
-    acts = est.net.forward({"image": net_input}, outputs=branch_tops)
-    for b in branch_tops:
-        lname = producers[b].name
-        a = np.asarray(acts[b])  # (N, C, h, w) caffe layout
-        std_c = a.std(axis=(0, 2, 3)).astype(np.float32)
-        s = (0.25 / np.maximum(std_c, 1e-20)).astype(np.float32)
-        W, bias = [np.asarray(p) for p in est.net.params[lname]]
-        est.net.params[lname] = [jnp.asarray(W * s), jnp.asarray(bias * s)]
+    normalize_branches(est, net_input)
 
     model = os.path.join(tmp, "seeded.caffemodel")
     est.net.save_caffemodel(model)
