@@ -242,3 +242,16 @@ class TestComposedMesh2D:
             np.testing.assert_allclose(pk_s, pk_r, rtol=1e-4, atol=1e-4)
             np.testing.assert_allclose(sc_s, sc_r, rtol=2e-2, atol=2e-2)
             np.testing.assert_array_equal(ct_s, ct_r)
+
+
+def test_multihost_dp_dryrun():
+    """SURVEY §7.6 multi-host data parallelism: the SAME make_dp_train_step
+    on the 6-stage CPM graph, split over 2 OS processes x 2 virtual CPU
+    devices each (jax.distributed + cross-process Gloo collectives standing
+    in for DCN), == the 1-process x 4-device step on the identical global
+    batch.  Runs entirely in fresh subprocesses (parallel/multihost.py);
+    this process's jax state is untouched."""
+    from caffe_rtpose_tpu.parallel.multihost import dryrun_multihost
+
+    dryrun_multihost(num_processes=2, devices_per_process=2,
+                     crop=48, batch=4)
