@@ -40,7 +40,7 @@ class MatlabError(Exception):
 
 _KEYWORDS = {
     "function", "classdef", "properties", "methods", "if", "elseif",
-    "else", "for", "while", "end", "return",
+    "else", "for", "while", "end", "return", "try", "catch",
 }
 
 _TOKEN_RE = re.compile(r"""
@@ -157,7 +157,12 @@ class Parser:
             if self.peek().kind != "eof":
                 raise MatlabError(f"trailing content: {self.peek()!r}")
             return ("file_funcs", funcs)
-        raise MatlabError(f"file must start with function/classdef, got {t!r}")
+        # a SCRIPT file: bare statements at file level (e.g. the reference
+        # matlab/hdf5creation/demo.m), run in a shared workspace
+        stmts = self.parse_block()
+        if self.peek().kind != "eof":
+            raise MatlabError(f"trailing content: {self.peek()!r}")
+        return ("script", stmts)
 
     def parse_attrs(self) -> Dict[str, Any]:
         """(Access = private), (Static), (SetAccess = private) ..."""
@@ -232,15 +237,30 @@ class Parser:
 
     def parse_function(self):
         self.expect_kw("function")
-        # forms: function out = name(args) | function name(args) | function name
+        # forms: function out = name(args) | function [a, b] = name(args)
+        #      | function name(args) | function name
         out_var = None
-        name = self.next().val
-        if self.at_op("="):
+        out_vars: Optional[List[str]] = None
+        if self.at_op("["):
             self.next()
-            out_var = name
+            out_vars = []
+            while not self.at_op("]"):
+                out_vars.append(self.next().val)
+                if self.at_op(","):
+                    self.next()
+            self.next()
+            self.expect_op("=")
             name = self.next().val
-        elif self.at_op("["):
-            raise MatlabError("multiple return values not supported")
+            out_var = out_vars[0] if out_vars else None
+            # fallthrough to params below
+        else:
+            name = self.next().val
+            if self.at_op("="):
+                self.next()
+                out_var = name
+                name = self.next().val
+        if out_vars is None:
+            out_vars = [out_var] if out_var is not None else []
         params: List[str] = []
         if self.at_op("("):
             self.next()
@@ -255,8 +275,15 @@ class Parser:
             self.next()
         self.skip_terms()
         body = self.parse_block()
-        self.expect_kw("end")
-        return ("function", name, out_var, params, body)
+        # MATLAB allows end-less function files: a file-level function body
+        # runs until the next `function` keyword or EOF (the reference's
+        # classification_demo.m style); explicit `end` is also accepted
+        t = self.peek()
+        if t.kind == "kw" and t.val == "end":
+            self.next()
+        elif not (t.kind == "eof" or (t.kind == "kw" and t.val == "function")):
+            raise MatlabError(f"expected 'end' or next function, got {t!r}")
+        return ("function", name, out_vars, params, body)
 
     # ---- statements
     def parse_block(self) -> List[tuple]:
@@ -266,7 +293,9 @@ class Parser:
             t = self.peek()
             if t.kind == "eof":
                 break
-            if t.kind == "kw" and t.val in ("end", "else", "elseif"):
+            if t.kind == "kw" and t.val in ("end", "else", "elseif", "catch",
+                                            "function"):
+                # `function` ends an end-less file-level function body
                 break
             stmts.append(self.parse_stmt())
             self.skip_terms()
@@ -281,18 +310,63 @@ class Parser:
                 return self.parse_for()
             if t.val == "while":
                 return self.parse_while()
+            if t.val == "try":
+                return self.parse_try()
             if t.val == "return":
                 self.next()
                 return ("return",)
             if t.val == "function":
                 raise MatlabError("nested function definitions not supported")
             raise MatlabError(f"unexpected keyword {t.val!r} at line {t.line}")
+        if t.kind == "op" and t.val == "[":
+            # [a, b] = f(...) multi-assign (also [~, b] = ...)
+            save = self.i
+            try:
+                targets = self.parse_massign_targets()
+                self.expect_op("=")
+                rhs = self.parse_expr()
+                return ("massign", targets, rhs)
+            except MatlabError:
+                self.i = save  # fall through: a bare matrix expression
         expr = self.parse_expr()
         if self.at_op("="):
             self.next()
             rhs = self.parse_expr()
             return ("assign", expr, rhs)
         return ("exprstmt", expr)
+
+    def parse_massign_targets(self) -> List[Optional[tuple]]:
+        """'[' lvalue (',' lvalue)* ']' where lvalue is an expression
+        (ident / field / index) or '~' (discard, parsed as None)."""
+        self.expect_op("[")
+        targets: List[Optional[tuple]] = []
+        while not self.at_op("]"):
+            if self.at_op("~"):
+                self.next()
+                targets.append(None)
+            else:
+                targets.append(self.parse_postfix())
+            if self.at_op(","):
+                self.next()
+        self.next()
+        if not targets:
+            raise MatlabError("empty multi-assign target list")
+        return targets
+
+    def parse_try(self):
+        self.expect_kw("try")
+        self.skip_terms()
+        body = self.parse_block()
+        err_var = None
+        catch_body: List[tuple] = []
+        if self.peek().kind == "kw" and self.peek().val == "catch":
+            self.next()
+            if self.peek().kind == "id":
+                err_var = self.next().val
+            self.skip_terms()
+            catch_body = self.parse_block()
+        self.expect_kw("end")
+        return ("try", body, err_var, catch_body)
 
     def parse_if(self):
         self.expect_kw("if")
@@ -444,7 +518,9 @@ class Parser:
         if t.kind == "id":
             return ("ident", t.val)
         if t.kind == "kw" and t.val == "end":
-            raise MatlabError("'end' in indexing not supported")
+            # 'end' in an index expression: resolved at eval time against
+            # the dimension being indexed (env["__endval__"])
+            return ("endmarker",)
         if t.kind == "op" and t.val == "(":
             e = self.parse_expr()
             self.expect_op(")")
@@ -552,10 +628,34 @@ class MatObjArray:
 
 class MatFunction:
     def __init__(self, node, engine, pkg, name=None):
-        _, fname, out_var, params, body = node
+        _, fname, out_vars, params, body = node
         self.name = name or fname
-        self.out_var, self.params, self.body = out_var, params, body
+        self.out_vars = list(out_vars or [])
+        self.out_var = self.out_vars[0] if self.out_vars else None
+        self.params, self.body = params, body
         self.engine, self.pkg = engine, pkg
+        # sibling functions defined in the same .m file (MATLAB
+        # subfunctions) — visible only from inside this file's functions
+        self.file_locals: Dict[str, "MatFunction"] = {}
+
+
+class MatStruct:
+    """A MATLAB struct: ordered field dict.  Created by struct(...) or by
+    assignment to a field of an undefined name (s.f = v)."""
+
+    __slots__ = ("fields",)
+
+    def __init__(self, fields: Optional[Dict[str, Any]] = None):
+        self.fields: Dict[str, Any] = dict(fields or {})
+
+
+class MatStructArray:
+    """1-D array of structs (e.g. h5info().Datasets); s(i) indexes."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items: List[MatStruct]):
+        self.items = list(items)
 
 
 class BoundMethod:
@@ -753,12 +853,18 @@ class MatlabEngine:
                             {k: MatFunction(v, self, pkg) for k, v in methods.items()},
                             static, self, pkg, tests=tests)
         funcs = node[1]
+        fns = [MatFunction(f_node, self, pkg) for f_node in funcs]
         main = None
-        for f_node in funcs:
-            if f_node[1] == base:
-                main = MatFunction(f_node, self, pkg)
+        for f in fns:
+            if f.name == base:
+                main = f
         if main is None:
-            main = MatFunction(funcs[0], self, pkg, name=base)
+            main = fns[0]
+            main.name = base
+        # MATLAB subfunctions: every function in the file sees its siblings
+        table = {f.name: f for f in fns}
+        for f in fns:
+            f.file_locals = table
         return main
 
     # ---- public API
@@ -785,6 +891,33 @@ class MatlabEngine:
         margs = [self._in(a) for a in args]
         return self._invoke_method(obj, name, margs)
 
+    def run_script(self, path: str) -> Dict[str, Any]:
+        """Execute a script .m file (bare statements, shared workspace) the
+        way MATLAB runs e.g. matlab/hdf5creation/demo.m from its own
+        directory: sibling .m function files resolve unqualified, package
+        namespaces (caffe.*) resolve from this engine's root.  Returns the
+        script workspace for inspection."""
+        with open(path) as f:
+            src = f.read()
+        node = Parser(tokenize(src)).parse_file()
+        if node[0] != "script":
+            raise MatlabError(f"{path} is not a script file")
+        pkg = Package(self, os.path.dirname(os.path.abspath(path)),
+                      os.path.splitext(os.path.basename(path))[0])
+        env: Dict[str, Any] = {}
+        self.exec_block(node[1], env, pkg)
+        return env
+
+    def run_mfile(self, path: str, *args, nargout: int = 1):
+        """Call a function .m file that lives OUTSIDE a +package (e.g.
+        matlab/demo/classification_demo.m): siblings in its directory are
+        visible unqualified, like the MATLAB path."""
+        pkg = Package(self, os.path.dirname(os.path.abspath(path)),
+                      os.path.splitext(os.path.basename(path))[0])
+        fn = self._load_mfile(path, pkg)
+        margs = [self._in(a) for a in args]
+        return self.call_function(fn, margs, nargout=nargout)
+
     def _in(self, v):
         """Python test value -> MATLAB value."""
         if isinstance(v, np.ndarray):
@@ -794,16 +927,19 @@ class MatlabEngine:
         return v
 
     # ---- function machinery
-    def call_function(self, fn, args: List[Any], self_obj=None):
+    def call_function(self, fn, args: List[Any], self_obj=None, nargout=1):
         if isinstance(fn, Builtin):
             return fn.fn(*args)
         if isinstance(fn, BoundMethod):
-            return self.call_function(fn.fn, args, self_obj=fn.obj)
+            return self.call_function(fn.fn, args, self_obj=fn.obj,
+                                      nargout=nargout)
         if isinstance(fn, MatClass):
             return self.construct(fn, args)
         if not isinstance(fn, MatFunction):
             raise MatlabError(f"not callable: {fn!r}")
         env: Dict[str, Any] = {}
+        if fn.file_locals:
+            env["__file_locals__"] = fn.file_locals
         params = list(fn.params)
         if self_obj is not None:
             args = [self_obj] + args
@@ -822,12 +958,19 @@ class MatlabEngine:
                 if params[i] != "~":
                     env[params[i]] = a
         env["nargin"] = float(nargin)
+        env["nargout"] = float(nargout)
         if fn.out_var is not None and fn.out_var not in env:
             env[fn.out_var] = MatArray(np.zeros((0, 0)))
         try:
             self.exec_block(fn.body, env, fn.pkg)
         except _ReturnSignal:
             pass
+        if nargout > 1:
+            if len(fn.out_vars) < nargout:
+                raise MatlabError(
+                    f"{fn.name} returns {len(fn.out_vars)} values, "
+                    f"{nargout} requested")
+            return tuple(env.get(ov) for ov in fn.out_vars[:nargout])
         if fn.out_var is not None:
             return env.get(fn.out_var)
         return None
@@ -897,8 +1040,64 @@ class MatlabEngine:
                 self.exec_block(body, env, pkg)
         elif tag == "return":
             raise _ReturnSignal()
+        elif tag == "try":
+            _, body, err_var, catch_body = s
+            try:
+                self.exec_block(body, env, pkg)
+            except _ReturnSignal:
+                raise
+            except Exception as exc:  # MATLAB catches everything
+                if err_var is not None:
+                    env[err_var] = MatStruct({
+                        "message": str(exc),
+                        "identifier": type(exc).__name__,
+                    })
+                self.exec_block(catch_body, env, pkg)
+        elif tag == "massign":
+            self._exec_massign(s[1], s[2], env, pkg)
         else:
             raise MatlabError(f"unknown statement {tag}")
+
+    def _exec_massign(self, targets, rhs, env, pkg):
+        """[a, b, ~] = f(...): call with nargout=len(targets)."""
+        n = len(targets)
+        vals = None
+        if rhs[0] == "call":
+            base_e, arg_es = rhs[1], rhs[2]
+            target = None
+            if base_e[0] == "ident" and base_e[1] not in env:
+                name = base_e[1]
+                if name in _MULTI_BUILTINS:
+                    args = [self.eval(a, env, pkg) for a in arg_es]
+                    vals = _MULTI_BUILTINS[name](n, *args)
+                else:
+                    target = self._lookup(name, env, pkg)
+            elif base_e[0] == "field":
+                # pkg.fn or obj.method in multi-output position
+                obj = self.eval(base_e[1], env, pkg)
+                got = self._getfield(obj, base_e[2], env, pkg) \
+                    if not isinstance(obj, MatObject) else None
+                if isinstance(obj, MatObject):
+                    m = obj.cls.methods.get(base_e[2])
+                    if m is not None:
+                        got = BoundMethod(obj, m)
+                target = got
+            else:
+                target = self.eval(base_e, env, pkg)
+            if vals is None:
+                if not isinstance(target, (MatFunction, BoundMethod)):
+                    raise MatlabError(
+                        "multi-assign needs a function with multiple outputs")
+                args = [self.eval(a, env, pkg) for a in arg_es]
+                vals = self.call_function(target, args, nargout=n)
+        else:
+            v = self.eval(rhs, env, pkg)
+            vals = v if isinstance(v, tuple) else (v,)
+        if len(vals) < n:
+            raise MatlabError(f"expected {n} outputs, got {len(vals)}")
+        for t, v in zip(targets, vals):
+            if t is not None:
+                self.store(t, v, env, pkg)
 
     def _iterate(self, it):
         if isinstance(it, MatArray):
@@ -937,8 +1136,13 @@ class MatlabEngine:
             env[lhs[1]] = val
             return
         if tag == "field":
+            # s.f = v on an undefined name creates a struct (MATLAB)
+            if lhs[1][0] == "ident" and lhs[1][1] not in env:
+                env[lhs[1][1]] = MatStruct()
             base = self.eval(lhs[1], env, pkg)
-            if isinstance(base, MatObject):
+            if isinstance(base, MatStruct):
+                base.fields[lhs[2]] = val
+            elif isinstance(base, MatObject):
                 base.props[lhs[2]] = val
             else:  # python object attribute (e.g. pyblob.data = ...)
                 setattr(base, lhs[2], matlab_to_py(val))
@@ -966,7 +1170,10 @@ class MatlabEngine:
             return
         if tag == "call":  # paren-assign: array element or object array
             base = self.eval(lhs[1], env, pkg)
-            idx = [self.eval(a, env, pkg) for a in lhs[2]]
+            if isinstance(base, MatArray):
+                idx = self._eval_index_args(lhs[2], env, pkg, base)
+            else:
+                idx = [self.eval(a, env, pkg) for a in lhs[2]]
             if isinstance(base, MatObjArray):
                 i = self._int_index(idx)
                 while len(base.items) < i:
@@ -998,7 +1205,28 @@ class MatlabEngine:
             flat[sel] = v
             arr.a = flat.reshape(arr.a.shape, order="F")
             return
-        raise MatlabError("multi-dim paren-assign not supported")
+        # multi-dim: ':' / index-vectors / scalars (no growth — MATLAB
+        # grows on out-of-range assign; the ported demos preallocate)
+        a = arr.a
+        if a.ndim < len(idx):
+            a = a.reshape(a.shape + (1,) * (len(idx) - a.ndim))
+        sels = []
+        for d, ix in enumerate(idx):
+            if ix == ("colonall",):
+                sels.append(np.arange(a.shape[d]))
+            elif isinstance(ix, MatArray):
+                sels.append(ix.a.reshape(-1, order="F").astype(np.int64) - 1)
+            else:
+                sels.append(np.array([int(self._num(ix)) - 1]))
+        out = a.copy()
+        block = tuple(len(s) for s in sels)
+        if isinstance(val, MatArray):
+            v = val.a.reshape(-1, order="F").reshape(block, order="F")
+        else:
+            v = np.full(block, val)
+        out[np.ix_(*sels)] = v
+        arr.a = out.reshape(arr.a.shape, order="F") \
+            if out.shape != arr.a.shape else out
 
     def _linear_sel(self, arr: MatArray, ix):
         if isinstance(ix, MatArray):
@@ -1012,6 +1240,11 @@ class MatlabEngine:
             # the magic ':' marker survives argument re-evaluation in
             # _eval_call/_array_index
             return ("colonall",)
+        if tag == "endmarker":
+            v = env.get("__endval__")
+            if v is None:
+                raise MatlabError("'end' used outside array indexing")
+            return v
         if tag == "num":
             return e[1]
         if tag == "str":
@@ -1076,6 +1309,9 @@ class MatlabEngine:
     def _lookup(self, name, env, pkg):
         if name in env:
             return env[name]
+        locs = env.get("__file_locals__")
+        if locs is not None and name in locs:
+            return locs[name]
         if name == "py":
             return PyRoot()
         if name == "true":
@@ -1084,6 +1320,10 @@ class MatlabEngine:
             return False
         if name == "pi":
             return math.pi
+        if name in ("Inf", "inf"):
+            return math.inf
+        if name in ("NaN", "nan"):
+            return math.nan
         if name == "containers":
             return _ContainersNS()
         if name in self._engine_builtins:
@@ -1169,6 +1409,10 @@ class MatlabEngine:
 
     # ---- member access / indexing / calls
     def _getfield(self, base, name, env, pkg):
+        if isinstance(base, MatStruct):
+            if name in base.fields:
+                return base.fields[name]
+            raise MatlabError(f"no struct field {name!r}")
         if isinstance(base, PyRoot):
             if name in _PY_SPECIAL:
                 return _PY_SPECIAL[name]
@@ -1225,6 +1469,13 @@ class MatlabEngine:
         if base_e[0] == "ident":
             name = base_e[1]
             if name not in env:
+                # exist(x, 'var') asks about the CALLER's workspace — it
+                # cannot be a plain builtin (no env access), so resolve here
+                if name == "exist" and len(arg_es) == 2:
+                    args = [self.eval(a, env, pkg) for a in arg_es]
+                    if args[1] == "var":
+                        return 1.0 if str(args[0]) in env else 0.0
+                    return BUILTINS["exist"].fn(*args)
                 if name in self._engine_builtins:
                     args = [self.eval(a, env, pkg) for a in arg_es]
                     return self._engine_builtins[name].fn(*args)
@@ -1235,7 +1486,7 @@ class MatlabEngine:
                 return self._call_value(target, arg_es, env, pkg)
             target = env[name]
             if isinstance(target, MatArray):
-                idx = [self.eval(a, env, pkg) for a in arg_es]
+                idx = self._eval_index_args(arg_es, env, pkg, target)
                 return self._array_index(target, idx)
             return self._call_value(target, arg_es, env, pkg)
         # method call obj.m(args) — resolve without auto-invoking the method
@@ -1261,6 +1512,8 @@ class MatlabEngine:
                 if not isinstance(target, MatClass) else self.construct(target, args)
         if isinstance(target, MatObjArray):
             return target.items[self._int_index(args) - 1]
+        if isinstance(target, MatStructArray):
+            return target.items[self._int_index(args) - 1]
         if isinstance(target, MatMap):
             if len(args) != 1:
                 raise MatlabError("Map lookup takes one key")
@@ -1275,6 +1528,33 @@ class MatlabEngine:
             pyargs = [matlab_to_py(a) for a in args]
             return target(*pyargs)
         raise MatlabError(f"cannot call {type(target)}")
+
+    def _eval_index_args(self, arg_es, env, pkg, arr: MatArray):
+        """Evaluate index expressions with MATLAB 'end' in scope: for k-way
+        indexing, 'end' in position d = size(arr, d) (the last position
+        absorbs trailing dims); single-subscript: 'end' = numel."""
+        n = len(arg_es)
+        a = arr.a
+        had = "__endval__" in env
+        saved = env.get("__endval__")
+        vals = []
+        try:
+            for d, ae in enumerate(arg_es):
+                if n == 1:
+                    env["__endval__"] = float(a.size)
+                elif d == n - 1:
+                    env["__endval__"] = float(
+                        int(np.prod(a.shape[d:])) if d < a.ndim else 1)
+                else:
+                    env["__endval__"] = (float(a.shape[d])
+                                         if d < a.ndim else 1.0)
+                vals.append(self.eval(ae, env, pkg))
+        finally:
+            if had:
+                env["__endval__"] = saved
+            else:
+                env.pop("__endval__", None)
+        return vals
 
     def _array_index(self, arr: MatArray, idx):
         a = arr.a
@@ -1691,6 +1971,259 @@ def _dims_from_args(dims, default=(1, 1)):
     return shape, dtype
 
 
+def _b_struct(*args):
+    if len(args) % 2:
+        raise MatlabError("struct() takes name/value pairs")
+    return MatStruct({str(args[i]): args[i + 1]
+                      for i in range(0, len(args), 2)})
+
+
+def _b_fieldnames(s):
+    if not isinstance(s, MatStruct):
+        raise MatlabError("fieldnames expects a struct")
+    return MatCell(list(s.fields))
+
+
+def _b_isfield(s, name):
+    return isinstance(s, MatStruct) and str(name) in s.fields
+
+
+def _b_floor(x):
+    a = _as_mat(x).a
+    r = np.floor(a)
+    return MatArray(r) if r.size > 1 else float(r.reshape(-1)[0])
+
+
+def _b_mean(x, dim=None):
+    a = _as_mat(x).a
+    if dim is None:
+        # first non-singleton dimension (MATLAB default)
+        dims = [d for d, s in enumerate(a.shape) if s > 1]
+        d = dims[0] if dims else 0
+    else:
+        d = int(MatlabEngine._num(dim)) - 1
+    r = np.mean(a, axis=d, keepdims=True)
+    return MatArray(r) if r.size > 1 else float(r.reshape(-1)[0])
+
+
+def _b_cat(dim, *arrs):
+    d = int(MatlabEngine._num(dim)) - 1
+    mats = [_as_mat(a).a for a in arrs]
+    nd = max(d + 1, max(m.ndim for m in mats))
+    mats = [m.reshape(m.shape + (1,) * (nd - m.ndim)) for m in mats]
+    return MatArray(np.concatenate(mats, axis=d))
+
+
+_TIC_STACK: List[float] = []
+
+
+def _b_tic():
+    import time as _t
+
+    _TIC_STACK.append(_t.perf_counter())
+    return None
+
+
+def _b_toc():
+    import time as _t
+
+    t0 = _TIC_STACK[-1] if _TIC_STACK else _t.perf_counter()
+    dt = _t.perf_counter() - t0
+    _FPRINTF_OUT.append(f"Elapsed time is {dt:.6f} seconds.\n")
+    return dt
+
+
+def _b_get_report(err):
+    if isinstance(err, MatStruct):
+        return str(err.fields.get("message", ""))
+    return str(err)
+
+
+# ---- MATLAB HDF5 surface over h5py.  MATLAB arrays are column-major, so
+# the on-disk dataset dims are the REVERSE of the MATLAB size vector —
+# which is exactly why store2hdf5.m works: W*H*C*N MATLAB data lands as an
+# N x C x H x W dataset, the layout caffe's HDF5Data layer reads.
+
+def _h5py():
+    import h5py
+
+    return h5py
+
+
+def _mat_dims(v) -> List[float]:
+    a = _as_mat(v).a
+    return [float(x) for x in a.reshape(-1, order="F")]
+
+
+def _b_h5create(filename, ds, size, *opts):
+    h5py = _h5py()
+    dims = _mat_dims(size)
+    dtype, chunks = np.float64, None
+    i = 0
+    while i < len(opts):
+        key = str(opts[i]).lower()
+        if key == "datatype":
+            dtype = {"single": np.float32, "double": np.float64}[
+                str(opts[i + 1])]
+        elif key == "chunksize":
+            chunks = tuple(int(x) for x in reversed(_mat_dims(opts[i + 1])))
+        i += 2
+    shape = tuple(0 if math.isinf(d) else int(d) for d in reversed(dims))
+    maxshape = tuple(None if math.isinf(d) else int(d)
+                     for d in reversed(dims))
+    with h5py.File(str(filename), "a") as f:
+        name = str(ds)
+        if name in f:
+            raise MatlabError(f"h5create: dataset {name} exists")
+        f.create_dataset(name, shape=shape, maxshape=maxshape,
+                         dtype=dtype, chunks=chunks)
+    return None
+
+
+def _b_h5write(filename, ds, data, start=None, count=None):
+    h5py = _h5py()
+    a = _as_mat(data).a
+    disk = np.transpose(a, axes=tuple(reversed(range(a.ndim))))
+    with h5py.File(str(filename), "a") as f:
+        d = f[str(ds)]
+        if start is None:
+            d[...] = disk
+            return None
+        st = [int(x) - 1 for x in reversed(_mat_dims(start))]
+        ct = [int(x) for x in reversed(_mat_dims(count))] if count is not None \
+            else list(disk.shape)
+        if len(st) > disk.ndim:  # trailing singleton MATLAB dims
+            disk = disk.reshape((1,) * (len(st) - disk.ndim) + disk.shape)
+        need = [max(cur, s + c) for cur, s, c in zip(d.shape, st, ct)]
+        if list(d.shape) != need:
+            d.resize(need)
+        d[tuple(slice(s, s + c) for s, c in zip(st, ct))] = disk
+    return None
+
+
+def _b_h5read(filename, ds, start=None, count=None):
+    h5py = _h5py()
+    with h5py.File(str(filename), "r") as f:
+        d = f[str(ds)]
+        if start is None:
+            disk = d[...]
+        else:
+            st = [int(x) - 1 for x in reversed(_mat_dims(start))]
+            ct = [int(x) for x in reversed(_mat_dims(count))]
+            disk = d[tuple(slice(s, s + c) for s, c in zip(st, ct))]
+    return MatArray(np.transpose(disk, axes=tuple(reversed(range(disk.ndim)))))
+
+
+def _b_h5info(filename):
+    h5py = _h5py()
+    dsets = []
+    with h5py.File(str(filename), "r") as f:
+        for name in sorted(f.keys()):  # MATLAB lists alphabetically
+            obj = f[name]
+            if isinstance(obj, h5py.Dataset):
+                size = MatArray(np.array(
+                    [float(s) for s in reversed(obj.shape)], np.float64))
+                dsets.append(MatStruct({
+                    "Name": "/" + name,
+                    "Dataspace": MatStruct({"Size": size}),
+                }))
+    return MatStruct({"Filename": str(filename),
+                      "Datasets": MatStructArray(dsets)})
+
+
+def _b_h5disp(filename):
+    h5py = _h5py()
+    lines = [f"HDF5 {os.path.basename(str(filename))}"]
+    with h5py.File(str(filename), "r") as f:
+        for name in sorted(f.keys()):
+            obj = f[name]
+            if isinstance(obj, h5py.Dataset):
+                msize = "x".join(str(s) for s in reversed(obj.shape))
+                lines.append(f"Dataset '{name}'  Size: {msize}")
+    _FPRINTF_OUT.append("\n".join(lines) + "\n")
+    return None
+
+
+def _b_imread(path, *flag):
+    import cv2 as _cv2
+
+    img = _cv2.imread(str(path), _cv2.IMREAD_COLOR)
+    if img is None:
+        raise MatlabError(f"imread: cannot read {path}")
+    return MatArray(img[:, :, ::-1].copy())  # MATLAB returns RGB
+
+
+def _b_imresize(im, size, method="bilinear"):
+    """imresize(im, [h w], 'bilinear').  Divergence note: cv2's INTER_LINEAR
+    has no antialiasing prefilter, MATLAB's imresize does when downscaling —
+    values differ at interpolation-rounding level."""
+    import cv2 as _cv2
+
+    a = _as_mat(im).a
+    dims = _mat_dims(size)
+    h, w = int(dims[0]), int(dims[1])
+    interp = {"bilinear": _cv2.INTER_LINEAR, "bicubic": _cv2.INTER_CUBIC,
+              "nearest": _cv2.INTER_NEAREST}[str(method)]
+    return MatArray(_cv2.resize(np.ascontiguousarray(a), (w, h),
+                                interpolation=interp))
+
+
+def _multi_max(n, a, b=None):
+    if b is not None:
+        raise MatlabError("[m,i] = max(a,b) is not a MATLAB form")
+    arr = _as_mat(a).a.reshape(-1, order="F")
+    i = int(np.argmax(arr))
+    return (MatlabEngine._scalarize(arr[i]), float(i + 1))[:n] \
+        if n <= 2 else (_ for _ in ()).throw(MatlabError("max: nargout > 2"))
+
+
+def _multi_min(n, a, b=None):
+    if b is not None:
+        raise MatlabError("[m,i] = min(a,b) is not a MATLAB form")
+    arr = _as_mat(a).a.reshape(-1, order="F")
+    i = int(np.argmin(arr))
+    return (MatlabEngine._scalarize(arr[i]), float(i + 1))[:n]
+
+
+def _multi_size(n, x):
+    a = _as_mat(x).a
+    shape = list(a.shape) + [1] * max(0, n - _as_mat(x).a.ndim)
+    if n < len(shape):  # last output absorbs the remaining dims' product
+        shape = shape[: n - 1] + [int(np.prod(shape[n - 1:]))]
+    return tuple(float(s) for s in shape[:n])
+
+
+def _b_all(x):
+    v = _as_mat(x).a
+    return bool(np.all(v))
+
+
+def _b_any(x):
+    v = _as_mat(x).a
+    return bool(np.any(v))
+
+
+def _b_load(path):
+    """load('file.mat') -> struct of variables (scipy's MATLAB v5 reader;
+    MATLAB arrays come back column-major-equivalent by construction)."""
+    import scipy.io as sio
+
+    d = sio.loadmat(str(path))
+    return MatStruct({k: MatArray(np.asarray(v))
+                      for k, v in d.items() if not k.startswith("__")})
+
+
+def _b_addpath(p):
+    # the engine resolves package namespaces from its root and siblings
+    # from the calling file's directory, so MATLAB-path edits are moot —
+    # accepted for compatibility with scripts that call addpath('..')
+    return None
+
+
+# builtins that can return multiple outputs under [a, b] = f(...)
+_MULTI_BUILTINS = {"max": _multi_max, "min": _multi_min, "size": _multi_size}
+
+
 BUILTINS: Dict[str, Builtin] = {name: Builtin(name, fn) for name, fn in {
     "numel": _b_numel,
     "ndims": _b_ndims,
@@ -1721,7 +2254,7 @@ BUILTINS: Dict[str, Builtin] = {name: Builtin(name, fn) for name, fn in {
     "isscalar": _b_isscalar,
     "isnumeric": _b_isnumeric,
     "iscell": lambda x: isinstance(x, MatCell),
-    "isstruct": lambda x: False,
+    "isstruct": lambda x: isinstance(x, MatStruct),
     "num2str": _b_num2str,
     "fliplr": _b_fliplr,
     "int32": _b_int32,
@@ -1731,6 +2264,26 @@ BUILTINS: Dict[str, Builtin] = {name: Builtin(name, fn) for name, fn in {
     "delete": _b_delete,
     "error": _b_error,
     "disp": lambda x: _FPRINTF_OUT.append(str(x) + "\n"),
+    "struct": _b_struct,
+    "fieldnames": _b_fieldnames,
+    "isfield": _b_isfield,
+    "floor": _b_floor,
+    "mean": _b_mean,
+    "cat": _b_cat,
+    "all": _b_all,
+    "any": _b_any,
+    "tic": _b_tic,
+    "toc": _b_toc,
+    "getReport": _b_get_report,
+    "h5create": _b_h5create,
+    "h5write": _b_h5write,
+    "h5read": _b_h5read,
+    "h5info": _b_h5info,
+    "h5disp": _b_h5disp,
+    "imread": _b_imread,
+    "imresize": _b_imresize,
+    "load": _b_load,
+    "addpath": _b_addpath,
 }.items()}
 
 

@@ -101,3 +101,24 @@ def make_caffenet(batch: int = 256, crop: int = 227,
                         {"dim": [batch]}],
         "layer": layers,
     }
+
+
+def make_caffenet_deploy(batch: int = 10, crop: int = 227,
+                         num_classes: int = 1000) -> Dict[str, Any]:
+    """Deploy-phase CaffeNet: data input only, ends in a Softmax ``prob``
+    top — the surface of the public bvlc_reference_caffenet
+    deploy.prototxt that matlab/demo/classification_demo.m loads
+    (/root/reference/matlab/demo/classification_demo.m:76).  Default
+    batch 10 matches the demo's 10-crop oversampling."""
+    net = make_caffenet(batch=batch, crop=crop, num_classes=num_classes,
+                        phase="TEST")
+    layers = [l for l in net["layer"]
+              if l["type"] not in ("SoftmaxWithLoss", "Accuracy")]
+    layers.append({"name": "prob", "type": "Softmax",
+                   "bottom": ["fc8"], "top": ["prob"]})
+    return {
+        "name": "CaffeNet",
+        "input": ["data"],
+        "input_shape": [{"dim": [batch, 3, crop, crop]}],
+        "layer": layers,
+    }
