@@ -190,13 +190,14 @@ def dryrun_flagship(n_devices: int) -> None:
     """The driver-visible multichip validation: all five flagship-graph
     shardings (see module docstring)."""
     from .mesh2d import dryrun_dp_sp_train
-    from .pp import dryrun_pp
+    from .pp import dryrun_pp, dryrun_pp_train
 
     est = _flagship_estimator()
     dryrun_device_pool(n_devices, est)
     dryrun_spatial_estimator(n_devices, est)
     dryrun_tp_estimator(n_devices, est)
     dryrun_pp(n_devices)
+    dryrun_pp_train(n_devices)
     dryrun_cpm_train(n_devices)
     # composed 2-axis mesh: (n/2)-way DP x 2-way spatial on the same full
     # 6-stage train graph, checked against the single-device step

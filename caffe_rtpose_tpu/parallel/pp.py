@@ -33,11 +33,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_refine_stage_net(n_paf: int = 38, n_heat: int = 19,
-                          hw: Tuple[int, int] = (46, 82), feat_ch: int = 128):
+                          hw: Tuple[int, int] = (46, 82), feat_ch: int = 128,
+                          width: int = 128):
     """A single generic refinement stage as its own Net: inputs
     ``prev_L1``/``prev_L2``/``feat``, outputs ``Mconv7_L1``/``Mconv7_L2``.
     Layer names are the full net's with the ``_stage{t}`` index stripped,
-    so per-stage params map 1:1 by name."""
+    so per-stage params map 1:1 by name.  ``width`` shrinks the conv
+    channel count below the reference's 128 for cheap train-step tests."""
     from ..core.net import Net
     from ..models.cpm import _conv, _relu
 
@@ -51,12 +53,12 @@ def make_refine_stage_net(n_paf: int = 38, n_heat: int = 19,
     for i in range(1, 6):
         for br in ("L1", "L2"):
             name = f"Mconv{i}_{br}"
-            layers.append(_conv(name, b[br], 128, 7, 3))
+            layers.append(_conv(name, b[br], width, 7, 3))
             layers.append(_relu(f"Mrelu{i}_{br}", name))
             b[br] = name
     for br in ("L1", "L2"):
         name = f"Mconv6_{br}"
-        layers.append(_conv(name, b[br], 128, 1, 0))
+        layers.append(_conv(name, b[br], width, 1, 0))
         layers.append(_relu(f"Mrelu6_{br}", name))
         b[br] = name
     for br, nout in (("L1", n_paf), ("L2", n_heat)):
@@ -103,6 +105,25 @@ def pipeline_refine(mesh: Mesh, stage_net, stacked_params,
     replicated (tiny at net-res/8) — only the weights are sharded."""
     S = mesh.shape[axis]
     M = int(l1_0.shape[0])
+    body = _pipeline_body(stage_net, S, M, axis)
+    pspec = jax.tree_util.tree_map(
+        lambda _: P(axis), stacked_params)
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    return fn(stacked_params, l1_0, l2_0, feat)
+
+
+def _pipeline_body(stage_net, S: int, M: int, axis: str):
+    """The per-device GPipe schedule, as a function suitable for
+    ``shard_map`` over a stage-sharded weight stack.  Pure jax — so it is
+    also DIFFERENTIABLE: ``ppermute`` transposes to the inverse permute
+    and ``psum`` to a broadcast, which makes ``jax.grad`` through this
+    body exactly the reverse-schedule backward pipeline (activations
+    rematerialized per stage, gradients flowing d -> d-1 over ICI)."""
 
     # stage subnet as a pure function of (params_one_stage, l1, l2, feat)
     def stage_apply(pstack, l1, l2, feat1):
@@ -145,15 +166,130 @@ def pipeline_refine(mesh: Mesh, stage_net, stacked_params,
         out_l2 = jax.lax.psum(out_l2 * mask, axis)
         return out_l1, out_l2
 
-    pspec = jax.tree_util.tree_map(
-        lambda _: P(axis), stacked_params)
-    fn = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(pspec, P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    ))
-    return fn(stacked_params, l1_0, l2_0, feat)
+    return body
+
+
+def make_pp_train_step(mesh, stage_net, M: int, lr: float = 0.01,
+                       axis: str = "stage"):
+    """A TRAINING step through the GPipe schedule: forward the M
+    microbatches through the S pipelined stages, Euclidean loss on the
+    last stage's two branch outputs (the reference trains every CPM stage
+    with EuclideanLoss heads — src/caffe/layers/euclidean_loss_layer.cpp
+    there), backward via ``jax.grad`` THROUGH the ppermute schedule, and
+    a vanilla-SGD update applied to the stage-sharded weight stack in
+    place (each device updates only its own stage's shard; no gradient
+    collective is needed because stage weights are disjoint).
+
+    Returns ``step(stacked_params, l1_0, l2_0, feat, tgt1, tgt2) ->
+    (loss, new_stacked_params)``, jitted over ``mesh``.  Beyond-reference
+    scope: the reference never pipelines training (SURVEY §5)."""
+    S = mesh.shape[axis]
+    body = _pipeline_body(stage_net, S, M, axis)
+
+    def forward(stacked, l1, l2, feat):
+        pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked)
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(pspec, P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(stacked, l1, l2, feat)
+
+    def loss_fn(stacked, l1, l2, feat, t1, t2):
+        o1, o2 = forward(stacked, l1, l2, feat)
+        # caffe EuclideanLoss: sum of squares / (2 * batch), per head
+        m = o1.shape[0]
+        return (jnp.sum((o1 - t1) ** 2) + jnp.sum((o2 - t2) ** 2)) / (2 * m)
+
+    @jax.jit
+    def step(stacked, l1, l2, feat, t1, t2):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            stacked, l1, l2, feat, t1, t2)
+        new = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, stacked, grads)
+        return loss, new
+
+    return step
+
+
+def monolithic_train_step(stage_net, S: int, lr: float = 0.01):
+    """Single-device reference for ``make_pp_train_step``: the same
+    stacked weights run sequentially (stage t = ``stacked[t]``), same
+    loss, same SGD update — the ground truth the pipelined step must
+    reproduce."""
+
+    def apply_one(p, l1, l2, feat1):
+        blobs = stage_net._apply(
+            p, {"prev_L1": l1, "prev_L2": l2, "feat": feat1},
+            jax.random.PRNGKey(0), None, False)
+        return blobs["Mconv7_L1"], blobs["Mconv7_L2"]
+
+    def loss_fn(stacked, l1, l2, feat, t1, t2):
+        M = l1.shape[0]
+
+        def one(m):
+            c1, c2 = l1[m], l2[m]
+            for t in range(S):
+                p = jax.tree_util.tree_map(lambda a: a[t], stacked)
+                c1, c2 = apply_one(p, c1, c2, feat[m])
+            return c1, c2
+        outs = [one(m) for m in range(M)]
+        o1 = jnp.stack([o[0] for o in outs])
+        o2 = jnp.stack([o[1] for o in outs])
+        return (jnp.sum((o1 - t1) ** 2) + jnp.sum((o2 - t2) ** 2)) / (2 * M)
+
+    @jax.jit
+    def step(stacked, l1, l2, feat, t1, t2):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            stacked, l1, l2, feat, t1, t2)
+        new = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, stacked, grads)
+        return loss, new
+
+    return step
+
+
+def dryrun_pp_train(n_devices: int, hw: Tuple[int, int] = (6, 8),
+                    micro: int = 4, width: int = 8) -> None:
+    """Run ONE pipelined training step (forward + backward + SGD through
+    the GPipe schedule) and assert loss AND every updated weight equal
+    the monolithic single-device step on the same data."""
+    if n_devices < 2:
+        raise ValueError("pipeline train dryrun needs >= 2 devices")
+    S = min(n_devices, 5)
+    n_paf, n_heat, feat_ch = 4, 3, 8
+    stage_net = make_refine_stage_net(
+        n_paf=n_paf, n_heat=n_heat, hw=hw, feat_ch=feat_ch, width=width)
+
+    rs = np.random.RandomState(23)
+    h, w = hw
+    # independent per-stage weights, stacked over the leading stage axis
+    base = stage_net.params
+    stacked = {
+        k: [jnp.asarray(np.stack(
+            [rs.rand(*np.asarray(p).shape).astype(np.float32) * 0.1 - 0.05
+             for _ in range(S)])) for p in plist]
+        for k, plist in base.items()}
+    # stage_net._apply consumes/produces PHYSICAL NHWC tensors
+    args = [jnp.asarray(rs.rand(micro, 1, h, w, c).astype(np.float32) - 0.5)
+            for c in (n_paf, n_heat, feat_ch, n_paf, n_heat)]
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("stage",))
+    pp_step = make_pp_train_step(mesh, stage_net, micro)
+    loss_pp, new_pp = pp_step(stacked, *args)
+
+    mono_step = monolithic_train_step(stage_net, S)
+    loss_mono, new_mono = mono_step(stacked, *args)
+
+    np.testing.assert_allclose(float(loss_pp), float(loss_mono),
+                               rtol=1e-5)
+    for k in new_pp:
+        for a, b in zip(new_pp[k], new_mono[k]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+    print(f"dryrun_pp_train({n_devices}): pipelined train step "
+          f"(fwd+bwd+SGD over {S} stages, {micro} microbatches) == "
+          f"monolithic step OK (loss {float(loss_pp):.6f})")
 
 
 def dryrun_pp(n_devices: int, hw: Tuple[int, int] = (24, 32),

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from caffe_rtpose_tpu.parallel.pp import (
-    dryrun_pp, make_refine_stage_net, stack_stage_params)
+    dryrun_pp, dryrun_pp_train, make_refine_stage_net, stack_stage_params)
 
 pytestmark = pytest.mark.skipif(
     len(jax.devices()) < 5, reason="needs >= 5 mesh devices")
@@ -71,3 +71,15 @@ def test_dryrun_pp_small_mesh_prefix():
     the chain (here stages 2..5 over 4 devices) instead of failing —
     dryrun_flagship must complete on any n >= 2."""
     dryrun_pp(4, hw=(8, 12), micro=3)
+
+
+def test_pp_train_step_matches_monolithic():
+    """Pipelined TRAINING: jax.grad straight through the ppermute
+    schedule + per-stage SGD must equal the monolithic step — loss and
+    every updated weight (forward AND backward pipeline validated)."""
+    dryrun_pp_train(len(jax.devices()), hw=(6, 8), micro=4, width=8)
+
+
+def test_pp_train_step_two_stage_bubble():
+    # S=2 with M > S: the bubble-heavy corner of the schedule
+    dryrun_pp_train(2, hw=(6, 8), micro=5, width=8)
