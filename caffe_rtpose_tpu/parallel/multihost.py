@@ -46,6 +46,12 @@ def _worker(coordinator: str, num_processes: int, process_id: int,
     """
     import jax
 
+    # a site hook may pre-register an accelerator plugin and rewrite
+    # JAX_PLATFORMS after _spawn set it; force the CPU backend explicitly
+    # (same guard as tests/conftest.py) — the dryrun's virtual devices
+    # only exist on the host platform
+    jax.config.update("jax_platforms", "cpu")
+
     if num_processes > 1:
         jax.distributed.initialize(
             coordinator, num_processes=num_processes, process_id=process_id)
