@@ -27,6 +27,10 @@ actual CPM graphs would not have been caught):
    one-per-device (stacked stage weights sharded over a ``stage`` axis,
    microbatches flowing via ppermute, GPipe schedule), asserted equal
    to the monolithic net's stage-6 outputs.
+5b. ``pp.dryrun_pp_train`` — a pipeline-parallel TRAINING step:
+   jax.grad through the ppermute schedule (the backward pass is the
+   reverse pipeline) + per-stage SGD, loss and every updated weight
+   asserted equal to the monolithic single-device step.
 6. ``mesh2d.dryrun_dp_sp_train`` — the same full train graph on a
    COMPOSED 2-axis mesh ((n/2)-way data x 2-way spatial: batch sharded
    AND activations H-sharded with SPMD conv halo exchanges), loss and
