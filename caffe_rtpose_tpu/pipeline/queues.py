@@ -26,6 +26,14 @@ class BlockingQueue(queue.Queue):
         except queue.Empty:
             return None
 
+    def has_real_item(self) -> bool:
+        """True if a non-``None`` item is queued.  The ``None`` end-of-stream
+        sentinel must not count as a "fresher frame waiting" for shed
+        policies (a final frame with only the terminator behind it has
+        nothing fresher to supersede it)."""
+        with self.mutex:
+            return any(x is not None for x in self.queue)
+
 
 @dataclass(order=True)
 class _Entry:

@@ -390,8 +390,10 @@ class RtPosePipeline:
                     drop = age > 0.1
                     if not drop and cfg.drop_policy == "predictive":
                         ema = self._service_ema
+                        # has_real_item: the end-of-stream sentinel is not a
+                        # fresher frame — never shed the final frame
                         drop = (ema is not None and age + ema > 0.1
-                                and not input_q.empty())
+                                and input_q.has_real_item())
                     if drop:
                         reorder.push_dropped(f.index)
                         with self._dropped_lock:  # N dispatchers share it

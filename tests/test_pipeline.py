@@ -467,3 +467,71 @@ class TestRealtimeLatencyKnobs:
         assert pipe.dropped > 0  # predictive shed fired on young frames
         assert n >= 2  # shed-to-newest never starves the stream
         assert pipe._service_ema is not None and pipe._service_ema > 0.1
+
+    def test_predictive_shed_never_drops_final_frame(self, monkeypatch):
+        """The end-of-stream sentinel is not a 'fresher frame waiting': a
+        final frame whose only queue successor is the terminator must be
+        dispatched, not shed (has_real_item vs queue.empty)."""
+        import time as _time
+
+        from caffe_rtpose_tpu.pipeline.queues import OrderedBuffer
+        from caffe_rtpose_tpu.pipeline.runner import PipelineConfig, RtPosePipeline
+        from caffe_rtpose_tpu.pose.estimator import PoseEstimator
+
+        est = PoseEstimator(REF_COCO, net_resolution=(96, 64), seed=0,
+                            input_u8=True)
+        rs = np.random.RandomState(4)
+        frames = [(rs.rand(64, 96, 3) * 255).astype(np.uint8)
+                  for _ in range(2)]
+
+        cfg = PipelineConfig(
+            resolution=(96, 64), net_resolution=(96, 64), no_display=True,
+            no_frame_drops=False, fetchers=1, dispatchers=1, queue_depth=1,
+            drop_policy="predictive")
+        pipe = RtPosePipeline(est, cfg)
+
+        real_run = pipe.pool.run_device
+
+        class SlowPool:
+            def run_device(self, x, **kw):
+                _time.sleep(0.11)  # EMA lands past the 0.1 s line
+                return real_run(x, **kw)
+
+            def __getattr__(self, name):
+                return getattr(est, name)
+
+        pipe.pool = SlowPool()
+
+        # deterministic timing: pre-compile the producer + device paths so
+        # F1's service is sleep-dominated, and seed the EMA (the fetcher
+        # normally publishes it only after F1's fetch, i.e. after F2 pops)
+        from caffe_rtpose_tpu.pipeline.runner import warp_to_display
+        disp, _ = warp_to_display(frames[0], 96, 64)
+        real_run(est.make_input(disp),
+                 nms_threshold=pipe.ui.nms_threshold,
+                 inter_threshold=pipe.ui.inter_threshold)
+        pipe._service_ema = 0.12
+
+        dropped_idx = []
+        orig_push = OrderedBuffer.push_dropped
+        monkeypatch.setattr(
+            OrderedBuffer, "push_dropped",
+            lambda self, index: (dropped_idx.append(index),
+                                 orig_push(self, index))[1])
+
+        def paced():
+            # F1 dispatched instantly; F2+F3 (and then the sentinel) queue
+            # while F1 is in service; F3 is young at pop time but has only
+            # the terminator behind it
+            yield 0, frames[0], None
+            _time.sleep(0.035)
+            yield 1, frames[1], None
+            _time.sleep(0.035)
+            yield 2, frames[0], None
+
+        pipe.frame_iter = paced()
+        n = pipe.run()
+        assert n + pipe.dropped == 3
+        assert 3 not in dropped_idx, \
+            "final frame shed with only the sentinel behind it"
+        assert pipe._service_ema is not None and pipe._service_ema > 0.1

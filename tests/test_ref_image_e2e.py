@@ -433,12 +433,15 @@ def test_cli_json_byte_parity_three_scale_mpi(oracles, tmp_path):
     tmp = str(tmp_path)
     img_dir = os.path.join(tmp, "imgs")
     os.makedirs(img_dir)
-    image_paths = _make_images(img_dir, seed=47)[:1]
+    # seed chosen so the equalized scene assembles people under MPI's
+    # stricter connect params (min_cnt 3 of 15 parts, inter_thr 0.01):
+    # most seeds yield zero >=3-part subsets and a vacuous parity check
+    image_paths = _make_images(img_dir, seed=40)[:1]
 
     est = PoseEstimator(
         mpi_proto, net_resolution=(NET_W, NET_H), num_scales=3,
-        start_scale=1.0, scale_gap=0.3, seed=47, keep_heatmap=True)
-    rs = np.random.RandomState(47)
+        start_scale=1.0, scale_gap=0.3, seed=40, keep_heatmap=True)
+    rs = np.random.RandomState(40)
     reseed_weights(est, rs)
 
     frames = _run_producer(oracles, tmp, image_paths, 3, 1.0, 0.3)
