@@ -1833,12 +1833,41 @@ def _b_isequal(a, b):
     return _values_equal(a, b)
 
 
+def _minmax_one(a, reduce_fn, arg_fn, nout):
+    """MATLAB max/min on one array: column-wise (along the first
+    non-singleton dimension) for matrices, scalar for vectors; optional
+    second output is the 1-based index along that dimension."""
+    m = _as_mat(a).a
+    nonsingleton = [k for k, s in enumerate(m.shape) if s > 1]
+    if len(nonsingleton) <= 1:  # scalar or vector -> scalar result
+        arr = m.reshape(-1, order="F")
+        i = int(arg_fn(arr)) if arr.size else 0
+        v = MatlabEngine._scalarize(arr[i]) if arr.size else MatArray(m)
+        return (v, float(i + 1))[:nout]
+    ax = nonsingleton[0]
+    vals = MatArray(reduce_fn(m, axis=ax, keepdims=True))
+    if nout <= 1:
+        return (vals,)
+    idx = np.expand_dims(arg_fn(m, axis=ax), ax).astype(np.float64) + 1.0
+    return vals, MatArray(idx)
+
+
 def _b_max(a, b=None):
     if b is None:
-        return float(np.max(_as_mat(a).a))
+        return _minmax_one(a, np.max, np.argmax, 1)[0]
     an = _as_mat(a).a if isinstance(a, MatArray) else a
     bn = _as_mat(b).a if isinstance(b, MatArray) else b
     r = np.maximum(an, bn)
+    return MatArray(r) if isinstance(r, np.ndarray) and np.ndim(r) > 0 and np.size(r) > 1 \
+        else float(np.asarray(r).reshape(-1)[0])
+
+
+def _b_min(a, b=None):
+    if b is None:
+        return _minmax_one(a, np.min, np.argmin, 1)[0]
+    an = _as_mat(a).a if isinstance(a, MatArray) else a
+    bn = _as_mat(b).a if isinstance(b, MatArray) else b
+    r = np.minimum(an, bn)
     return MatArray(r) if isinstance(r, np.ndarray) and np.ndim(r) > 0 and np.size(r) > 1 \
         else float(np.asarray(r).reshape(-1)[0])
 
@@ -2171,18 +2200,17 @@ def _b_imresize(im, size, method="bilinear"):
 def _multi_max(n, a, b=None):
     if b is not None:
         raise MatlabError("[m,i] = max(a,b) is not a MATLAB form")
-    arr = _as_mat(a).a.reshape(-1, order="F")
-    i = int(np.argmax(arr))
-    return (MatlabEngine._scalarize(arr[i]), float(i + 1))[:n] \
-        if n <= 2 else (_ for _ in ()).throw(MatlabError("max: nargout > 2"))
+    if n > 2:
+        raise MatlabError("max: nargout > 2")
+    return _minmax_one(a, np.max, np.argmax, n)
 
 
 def _multi_min(n, a, b=None):
     if b is not None:
         raise MatlabError("[m,i] = min(a,b) is not a MATLAB form")
-    arr = _as_mat(a).a.reshape(-1, order="F")
-    i = int(np.argmin(arr))
-    return (MatlabEngine._scalarize(arr[i]), float(i + 1))[:n]
+    if n > 2:
+        raise MatlabError("min: nargout > 2")
+    return _minmax_one(a, np.min, np.argmin, n)
 
 
 def _multi_size(n, x):

@@ -141,12 +141,28 @@ def cmd_joint_diff(args) -> int:
     return 0 if ok else 2
 
 
-def oks(gt: np.ndarray, dt: np.ndarray, area: float) -> float:
+def oks(gt: np.ndarray, dt: np.ndarray, area: float,
+        bbox=None) -> float:
     """Object keypoint similarity between one GT (17,3 with v flags) and one
-    detection (17,3)."""
+    detection (17,3).  For GTs with NO visible keypoint (crowd /
+    num_keypoints==0 ignore regions), pycocotools computeOks falls back to
+    a distance-from-expanded-bbox measure over all keypoints so detections
+    landing on the region can still match (and then be ignored); mirror
+    that when a bbox is available."""
     vis = gt[:, 2] > 0
     if not vis.any():
-        return 0.0
+        if bbox is None:
+            return 0.0
+        x, y, w, h = [float(v) for v in bbox]
+        # expanded box [x-w, x+2w] x [y-h, y+2h] (cocoapi computeOks)
+        dx = (np.maximum(0.0, (x - w) - dt[:, 0])
+              + np.maximum(0.0, dt[:, 0] - (x + 2 * w)))
+        dy = (np.maximum(0.0, (y - h) - dt[:, 1])
+              + np.maximum(0.0, dt[:, 1] - (y + 2 * h)))
+        d2 = dx ** 2 + dy ** 2
+        var = (2 * COCO_SIGMAS) ** 2
+        e = d2 / (2 * var * (area + np.spacing(1)))
+        return float(np.mean(np.exp(-e)))
     d2 = np.sum((gt[vis, :2] - dt[vis, :2]) ** 2, axis=1)
     var = (2 * COCO_SIGMAS[vis]) ** 2
     e = d2 / (2 * var * (area + np.spacing(1)))
@@ -175,41 +191,42 @@ def _ap_one_range(gts, dts, thresholds, area_rng, max_dets):
     bbox falls outside the range; top max_dets detections per image by
     score (COCO keypoints: maxDets=20)."""
     lo, hi = area_rng
+
+    def _gt_ignore(gt):
+        return (not (lo <= gt["area"] <= hi) or gt.get("ignore", False)
+                or not (gt["keypoints"][:, 2] > 0).any())
+
     ap_per_t = []
     npos = sum(
         1
         for gt_list in gts.values()
         for gt in gt_list
-        if lo <= gt["area"] <= hi and (gt["keypoints"][:, 2] > 0).any()
+        if not _gt_ignore(gt)
     )
     for t in thresholds:
         scored = []  # (score, is_tp) for non-ignored detections
         for img_id, dt_list in sorted(dts.items()):
             gt_list = gts.get(img_id, [])
             # ignored GTs sort last, matching COCOeval's gtind ordering
-            order = sorted(
-                range(len(gt_list)),
-                key=lambda i: (
-                    not (lo <= gt_list[i]["area"] <= hi)
-                    or not (gt_list[i]["keypoints"][:, 2] > 0).any()
-                ),
-            )
+            order = sorted(range(len(gt_list)),
+                           key=lambda i: _gt_ignore(gt_list[i]))
             taken = [False] * len(gt_list)
             dts_ranked = sorted(dt_list, key=lambda d: -d["score"])[:max_dets]
             for dt in dts_ranked:
                 best, best_i, best_ignore = None, -1, False
                 for i in order:
                     gt = gt_list[i]
-                    if taken[i]:
+                    # crowd GTs may absorb multiple detections
+                    # (COCOeval: "if gtm>0 and not iscrowd: continue")
+                    if taken[i] and not gt.get("iscrowd", False):
                         continue
-                    ignore = not (lo <= gt["area"] <= hi) or not (
-                        gt["keypoints"][:, 2] > 0
-                    ).any()
+                    ignore = _gt_ignore(gt)
                     # once a regular match is made, ignored GTs (sorted
                     # last) cannot steal it (COCOeval's break)
                     if best_i >= 0 and not best_ignore and ignore:
                         break
-                    o = oks(gt["keypoints"], dt["keypoints"], gt["area"])
+                    o = oks(gt["keypoints"], dt["keypoints"], gt["area"],
+                            bbox=gt.get("bbox"))
                     if o < (t if best is None else best):
                         continue
                     best, best_i, best_ignore = o, i, ignore
@@ -248,15 +265,20 @@ def coco_keypoint_ap(gts: Dict[int, List[dict]], dts: Dict[int, List[dict]],
     keypoint protocol: maxDets=20, area ranges all/medium/large, ignored-GT
     handling.  Cross-validated against hand-computed fixtures and (when
     installed) pycocotools in tests/test_coco_ap_fixtures.py."""
-    thresholds = thresholds if thresholds is not None else np.arange(0.5, 1.0, 0.05)
+    thresholds = np.asarray(thresholds if thresholds is not None
+                            else np.arange(0.5, 1.0, 0.05))
     out: Dict[str, float] = {}
     for name, rng in AREA_RANGES.items():
         ap_per_t = _ap_one_range(gts, dts, thresholds, rng, max_dets)
         key = "AP" if name == "all" else f"AP_{name}"
         out[key] = float(np.mean(ap_per_t)) if ap_per_t else 0.0
-        if name == "all":
-            out["AP50"] = float(ap_per_t[0]) if ap_per_t else 0.0
-            out["AP75"] = float(ap_per_t[5]) if len(ap_per_t) > 5 else 0.0
+        if name == "all" and ap_per_t:
+            # AP50/AP75 by threshold value, not grid position (a custom
+            # thresholds vector must not silently mislabel them)
+            for label, tval in (("AP50", 0.5), ("AP75", 0.75)):
+                (idx,) = np.where(np.isclose(thresholds, tval))
+                if idx.size:
+                    out[label] = float(ap_per_t[int(idx[0])])
     return out
 
 
@@ -266,11 +288,18 @@ def cmd_coco_ap(args) -> int:
     img_by_id = {im["id"]: im for im in gt_json.get("images", [])}
     gts: Dict[int, List[dict]] = {}
     for ann in gt_json.get("annotations", []):
-        if ann.get("num_keypoints", 0) == 0:
-            continue
+        # zero-keypoint / crowd annotations are kept as IGNORE regions
+        # (pycocotools _prepare: gt['ignore'] = num_keypoints==0 or iscrowd);
+        # detections matched to them via the bbox-fallback OKS are dropped
+        # from scoring rather than counted as false positives
         kp = np.asarray(ann["keypoints"], np.float32).reshape(17, 3)
-        gts.setdefault(ann["image_id"], []).append(
-            {"keypoints": kp, "area": float(ann.get("area", 1.0))})
+        gts.setdefault(ann["image_id"], []).append({
+            "keypoints": kp, "area": float(ann.get("area", 1.0)),
+            "bbox": ann.get("bbox"),
+            "iscrowd": bool(ann.get("iscrowd", 0)),
+            "ignore": (ann.get("num_keypoints", 0) == 0
+                       or bool(ann.get("iscrowd", 0))),
+        })
     dts: Dict[int, List[dict]] = {}
     for path in glob.glob(os.path.join(args.pred, "*.json")):
         stem = os.path.splitext(os.path.basename(path))[0]

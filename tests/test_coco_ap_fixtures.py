@@ -143,6 +143,120 @@ def test_ap_area_ranges_and_ignores():
     assert res["AP_large"] == pytest.approx(1.0)
 
 
+def test_oks_bbox_fallback_zero_keypoint_gt():
+    """A GT with NO visible keypoint matches via the expanded-bbox distance
+    fallback (cocoapi computeOks k1==0 branch): a detection entirely inside
+    the expanded box [x-w, x+2w] x [y-h, y+2h] has OKS exactly 1; one at
+    distance d outside an edge scores mean(exp(-d^2/(2 var_i area)))."""
+    area = 10000.0
+    bbox = [600.0, 600.0, 100.0, 100.0]  # expanded: [500,800] x [500,800]
+    gt = np.zeros((17, 3), np.float32)  # all v=0
+    inside = np.zeros((17, 3), np.float32)
+    inside[:, :2] = (650.0, 650.0)
+    assert oks(gt, inside, area, bbox=bbox) == pytest.approx(1.0)
+
+    outside = np.zeros((17, 3), np.float32)
+    outside[:, :2] = (850.0, 650.0)  # dx = 50 past the expanded right edge
+    var = (2.0 * COCO_SIGMAS) ** 2
+    expected = float(np.mean(np.exp(
+        -(50.0 ** 2) / (2.0 * var * (area + np.spacing(1))))))
+    assert oks(gt, outside, area, bbox=bbox) == pytest.approx(expected)
+    # without a bbox there is nothing to fall back to
+    assert oks(gt, inside, area) == 0.0
+
+
+def test_ap_crowd_ignore_region_absorbs_detections():
+    """A zero-keypoint crowd GT is an IGNORE region, not a dropped
+    annotation: detections landing on it match via the bbox fallback and
+    are excluded from scoring instead of counted as false positives.
+
+    gt_A exact TP (score .9); two detections inside the crowd bbox
+    (scores .85, .8) both absorb into the crowd GT (iscrowd allows
+    re-matching); npos=1 -> lone TP -> AP = 1.  Without the ignore
+    handling they would be FPs and AP would be 1/2 on the envelope.
+    """
+    area = 5000.0
+    g_a = kp_full(100, 100)
+    crowd_kp = np.zeros((17, 3), np.float32)  # num_keypoints == 0
+    crowd = {"keypoints": crowd_kp, "area": 10000.0,
+             "bbox": [600.0, 600.0, 100.0, 100.0],
+             "iscrowd": True, "ignore": True}
+    in_crowd1 = np.zeros((17, 3), np.float32)
+    in_crowd1[:, :2] = (650.0, 650.0)
+    in_crowd2 = np.zeros((17, 3), np.float32)
+    in_crowd2[:, :2] = (700.0, 700.0)
+    gts = {1: [gt_entry(g_a, area), crowd]}
+    dts = {1: [dt_entry(g_a, 0.9), dt_entry(in_crowd1, 0.85),
+               dt_entry(in_crowd2, 0.8)]}
+    res = coco_keypoint_ap(gts, dts)
+    assert res["AP"] == pytest.approx(1.0)
+    assert res["AP50"] == pytest.approx(1.0)
+
+
+def test_ap50_75_follow_custom_threshold_grid():
+    """AP50/AP75 are located by threshold VALUE: a grid without 0.5 omits
+    AP50 rather than mislabeling whatever sits at index 0."""
+    area = 5000.0
+    g = kp_full(100, 100)
+    gts = {1: [gt_entry(g, area)]}
+    dts = {1: [dt_entry(g, 0.9)]}
+    res = coco_keypoint_ap(gts, dts, thresholds=np.arange(0.75, 1.0, 0.05))
+    assert "AP50" not in res
+    assert res["AP75"] == pytest.approx(1.0)
+
+
+def test_cli_coco_ap_keeps_crowd_annotations_as_ignore(tmp_path, capsys):
+    """End to end through the coco-ap subcommand loader: a num_keypoints==0
+    crowd annotation in the GT json becomes an ignore region (with its
+    bbox), so a predicted body inside it does not count as a FP."""
+    import json as _json
+
+    from caffe_rtpose_tpu.tools.eval_pose import OURS_TO_COCO, main
+
+    area = 5000.0
+    g = kp_full(100, 100)
+    gt_json = {
+        "images": [{"id": 7, "height": 2000, "width": 2000,
+                    "file_name": "img_000000000007.jpg"}],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 1, "iscrowd": 0,
+             "num_keypoints": 17, "area": area, "bbox": [90, 90, 60, 40],
+             "keypoints": [float(v) for v in g.reshape(-1)]},
+            {"id": 2, "image_id": 7, "category_id": 1, "iscrowd": 1,
+             "num_keypoints": 0, "area": 10000.0,
+             "bbox": [600.0, 600.0, 100.0, 100.0],
+             "keypoints": [0.0] * 51},
+        ],
+    }
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(_json.dumps(gt_json))
+
+    # two predicted 18-part bodies: one exact on the GT, one inside the
+    # crowd bbox (expanded box [500,800]^2)
+    def to18(kp17, conf):
+        b = np.zeros((18, 3), np.float32)
+        for c17, c18 in enumerate(OURS_TO_COCO):
+            b[c18, :2] = kp17[c17, :2]
+            b[c18, 2] = conf
+        return b
+
+    in_crowd = np.zeros((17, 3), np.float32)
+    in_crowd[:, :2] = (650.0, 650.0)
+    pred_dir = tmp_path / "pred"
+    pred_dir.mkdir()
+    bodies = [to18(g, 0.9), to18(in_crowd, 0.5)]
+    (pred_dir / "img_000000000007.json").write_text(_json.dumps({
+        "version": 0.1,
+        "bodies": [{"joints": [float(v) for v in b.reshape(-1)]}
+                   for b in bodies],
+    }))
+
+    assert main(["coco-ap", "--gt", str(gt_path),
+                 "--pred", str(pred_dir)]) == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["AP"] == pytest.approx(1.0)
+
+
 def test_ap_missing_keypoints_gt():
     """GT with only 5 visible keypoints: a detection exact on those five
     (garbage elsewhere) is a perfect match -> AP=1."""
