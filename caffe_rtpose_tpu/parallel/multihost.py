@@ -36,6 +36,54 @@ import subprocess
 import sys
 
 
+def _gloo_warmup(retries: int = 3) -> None:
+    """Establish the cross-process Gloo context BEFORE any expensive
+    compile, and retry if the full-mesh rendezvous times out.
+
+    XLA's Gloo backend lazily builds its full-mesh context at the FIRST
+    cross-process collective, and its key-value rendezvous has a
+    hard-coded 30 s GetKeyValue deadline (not exposed through
+    `jax.distributed.initialize`).  Without a warm-up, each worker's
+    first collective sits BEHIND the minutes-long train-step compile;
+    on a loaded single-CPU box the compile-time skew between workers
+    exceeds 30 s and the faster worker dies with
+    `Gloo context initialization failed: DEADLINE_EXCEEDED`.  A trivial
+    psum compiled in milliseconds right after initialize() puts every
+    process into the rendezvous within a tight window; the later big
+    collectives reuse the established context.  Each retry re-enters
+    the rendezvous, so residual skew (slow interpreter start on a
+    contended box) gets a fresh 30 s window.
+    """
+    import time
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()), ("d",))
+    sharded = NamedSharding(mesh, P("d"))
+    local = np.ones((len(jax.local_devices()),), np.float32)
+    x = jax.make_array_from_process_local_data(sharded, local)
+    tiny_psum = jax.jit(lambda a: a.sum(),
+                        out_shardings=NamedSharding(mesh, P()))
+    last_err = None
+    for attempt in range(retries):
+        try:
+            total = float(jax.device_get(tiny_psum(x)))
+            assert total == float(len(jax.devices())), total
+            return
+        except AssertionError:
+            raise
+        except Exception as e:  # rendezvous DEADLINE_EXCEEDED and kin
+            last_err = e
+            print(f"gloo warmup attempt {attempt + 1}/{retries} failed "
+                  f"({type(e).__name__}); retrying", flush=True)
+            time.sleep(2.0 * (attempt + 1))
+    raise RuntimeError(
+        f"Gloo warm-up collective failed after {retries} attempts"
+    ) from last_err
+
+
 def _worker(coordinator: str, num_processes: int, process_id: int,
             crop: int, batch: int, out_path: str) -> None:
     """Run ONE data-parallel CPM train step as one process of a
@@ -54,7 +102,10 @@ def _worker(coordinator: str, num_processes: int, process_id: int,
 
     if num_processes > 1:
         jax.distributed.initialize(
-            coordinator, num_processes=num_processes, process_id=process_id)
+            coordinator, num_processes=num_processes, process_id=process_id,
+            initialization_timeout=600)
+        # MUST precede the big train-step compile — see _gloo_warmup.
+        _gloo_warmup()
 
     import jax.numpy as jnp
     import numpy as np
@@ -190,13 +241,22 @@ def dryrun_multihost(num_processes: int = 2, devices_per_process: int = 4,
                           out if i == 0 else "")
                    for i in range(procs)]
         logs = []
+        timed_out = False
         for w in workers:
             try:
                 stdout, _ = w.communicate(timeout=timeout)
             except subprocess.TimeoutExpired:
                 w.kill()
                 stdout, _ = w.communicate()
+                timed_out = True
             logs.append(stdout)
+            if timed_out:
+                # environment failure (box too loaded to finish inside the
+                # budget), not a parity failure — raise a distinct type so
+                # callers can skip gracefully without masking real diffs
+                raise RuntimeError(
+                    f"multihost dryrun environment failure: {label} worker "
+                    f"exceeded {timeout}s\n{stdout[-2000:]}")
             assert w.returncode == 0, (
                 f"{label} worker failed:\n{stdout[-2000:]}")
         with open(out) as f:
