@@ -1,15 +1,22 @@
-"""Execute the ported reference demo directories through the restricted
-MATLAB engine:
+"""Execute the REFERENCE's own demo .m files, unmodified and in place
+from /root/reference/matlab/, through the restricted MATLAB engine —
+the same oracle pattern native/ref_oracle/* uses for the C++/CUDA
+sources (compile/execute the reference, never copy it into the repo):
 
-* matlab/hdf5creation/{demo.m,store2hdf5.m} — the batched HDF5 shard
-  writer (reference matlab/hdf5creation there).  The script's own
-  round-trip assertions run, and the shard it writes is then consumed by
-  the framework's HDF5Data layer — the exact workflow the reference demo
-  documents (store2hdf5 writes what HDF5_DATA reads).
-* matlab/demo/classification_demo.m — 10-crop CaffeNet classification
-  (reference matlab/demo/classification_demo.m).  The crop protocol and
-  scores are pinned against a numpy oracle + direct pycaffe forward on
-  the same weights.
+* /root/reference/matlab/hdf5creation/{demo.m,store2hdf5.m} — the
+  batched HDF5 shard writer.  The script's own round-trip assertions
+  run, and the shard it writes is then consumed by the framework's
+  HDF5Data layer — the exact workflow the reference demo documents
+  (store2hdf5 writes what HDF5_DATA reads).
+* /root/reference/matlab/demo/classification_demo.m — 10-crop CaffeNet
+  classification.  The crop protocol and scores are pinned against a
+  numpy oracle + direct pycaffe forward on the same weights.
+
+The demo scripts expect to sit next to their data (they write trial.h5 /
+list.txt into the CWD and resolve ../+caffe relative to themselves), so
+each test stages THE REFERENCE'S files verbatim into a scratch tree; the
+repo ships no copy of them.  All tests skip when /root/reference is
+absent, exactly like the compiled C++ oracles.
 """
 
 import math
@@ -25,6 +32,13 @@ from caffe_rtpose_tpu.matlab_engine import (
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MATLAB = os.path.join(REPO, "matlab")
+# the reference's demo sources, executed IN PLACE (never copied into the
+# repo) — same skip-if-absent contract as the compiled C++/CUDA oracles
+REF_MATLAB = "/root/reference/matlab"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_MATLAB),
+    reason="reference matlab/ demo sources not available")
 
 
 class _Chdir:
@@ -41,12 +55,13 @@ class _Chdir:
 
 @pytest.fixture()
 def h5_dir(tmp_path):
-    """matlab/hdf5creation staged into a scratch cwd (the demo writes
-    trial.h5 and list.txt into its working directory)."""
+    """The REFERENCE's matlab/hdf5creation sources staged verbatim into a
+    scratch cwd (the demo writes trial.h5 and list.txt into its working
+    directory, so it cannot run from the read-only reference tree)."""
     d = tmp_path / "hdf5creation"
     d.mkdir()
     for name in ("demo.m", "store2hdf5.m"):
-        shutil.copy(os.path.join(MATLAB, "hdf5creation", name), d / name)
+        shutil.copy(os.path.join(REF_MATLAB, "hdf5creation", name), d / name)
     return d
 
 
@@ -174,7 +189,8 @@ def demo_tree(tmp_path_factory):
     (root / "matlab" / "demo").mkdir(parents=True)
     shutil.copytree(os.path.join(MATLAB, "+caffe"),
                     root / "matlab" / "+caffe")
-    shutil.copy(os.path.join(MATLAB, "demo", "classification_demo.m"),
+    # the REFERENCE's own demo script, verbatim
+    shutil.copy(os.path.join(REF_MATLAB, "demo", "classification_demo.m"),
                 root / "matlab" / "demo" / "classification_demo.m")
 
     rs = np.random.RandomState(3)
