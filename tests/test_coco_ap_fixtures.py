@@ -322,6 +322,200 @@ def _run_pycocotools(gts, dts, img_ids):
             "AP_medium": E.stats[3], "AP_large": E.stats[4]}
 
 
+# ---------------------------------------------------------------------------
+# Independent-oracle cross-checks (round-5 verdict item 3): a SECOND
+# implementation of the COCOeval keypoint protocol, written from the
+# published algorithm with cocoeval's own three-phase structure
+# (tests/coco_eval_oracle.py), scores every fixture above plus a
+# randomized 50-image synthetic set.  Runs unconditionally — unlike the
+# pycocotools check it needs nothing installed.
+# ---------------------------------------------------------------------------
+
+from coco_eval_oracle import evaluate as oracle_evaluate  # noqa: E402
+
+
+def _assert_matches_oracle(gts, dts, **kw):
+    ours = coco_keypoint_ap(gts, dts, **kw)
+    ref = oracle_evaluate(gts, dts, **kw)
+    for k in ("AP", "AP50", "AP75", "AP_medium", "AP_large"):
+        if k not in ours and k not in ref:
+            continue
+        if ref.get(k) == -1.0:
+            # COCOeval sentinel for "no non-ignored GT in range"; the
+            # product scorer reports 0.0 there
+            assert ours.get(k, 0.0) == 0.0, k
+            continue
+        assert ours[k] == pytest.approx(ref[k], abs=1e-6), k
+    return ours, ref
+
+
+def _fixture_ranking():
+    area = 5000.0
+    g1 = kp_full(100, 100)
+    g2 = np.zeros((17, 3), np.float32)
+    g2[0] = (600, 600, 2)
+    d2 = g2.copy()
+    d2[0, 0] += offset_for_oks(0.72, area)
+    return ({1: [gt_entry(g1, area), gt_entry(g2, area)]},
+            {1: [dt_entry(g1, 0.9), dt_entry(d2, 0.8),
+                 dt_entry(kp_full(2000, 2000), 0.7)]}, {})
+
+
+def _fixture_max_dets():
+    area = 5000.0
+    g = kp_full(100, 100)
+    dts_list = [dt_entry(kp_full(3000 + 200 * i, 3000), 0.9 - 0.02 * i)
+                for i in range(24)]
+    dts_list.append(dt_entry(g, 0.1))
+    return {1: [gt_entry(g, area)]}, {1: dts_list}, {}
+
+
+def _fixture_max_dets_100():
+    gts, dts, _ = _fixture_max_dets()
+    return gts, dts, {"max_dets": 100}
+
+
+def _fixture_area_ranges():
+    gts = {1: [gt_entry(kp_full(100, 100), 2500.0),
+               gt_entry(kp_full(1000, 1000, spread=40.0), 40000.0)]}
+    dts = {1: [dt_entry(kp_full(5000, 5000, spread=12.5), 0.95),
+               dt_entry(kp_full(100, 100), 0.9),
+               dt_entry(kp_full(1000, 1000, spread=40.0), 0.8)]}
+    return gts, dts, {}
+
+
+def _fixture_crowd_absorb():
+    area = 5000.0
+    g_a = kp_full(100, 100)
+    crowd = {"keypoints": np.zeros((17, 3), np.float32), "area": 10000.0,
+             "bbox": [600.0, 600.0, 100.0, 100.0],
+             "iscrowd": True, "ignore": True}
+    in1 = np.zeros((17, 3), np.float32)
+    in1[:, :2] = (650.0, 650.0)
+    in2 = np.zeros((17, 3), np.float32)
+    in2[:, :2] = (700.0, 700.0)
+    return ({1: [gt_entry(g_a, area), crowd]},
+            {1: [dt_entry(g_a, 0.9), dt_entry(in1, 0.85),
+                 dt_entry(in2, 0.8)]}, {})
+
+
+def _fixture_partial_visibility():
+    area = 5000.0
+    g = kp_full(100, 100)
+    g[5:, 2] = 0
+    d = g.copy()
+    d[5:, :2] = 4000.0
+    return {1: [gt_entry(g, area)]}, {1: [dt_entry(d, 0.9)]}, {}
+
+
+def _fixture_multi_image():
+    area = 5000.0
+    g1 = kp_full(100, 100)
+    g2 = np.zeros((17, 3), np.float32)
+    g2[0] = (600, 600, 2)
+    d2 = g2.copy()
+    d2[0, 0] += offset_for_oks(0.72, area)
+    gts = {
+        1: [gt_entry(g1, area), gt_entry(g2, area)],
+        2: [gt_entry(kp_full(100, 100), 2500.0),
+            gt_entry(kp_full(1000, 1000, spread=40.0), 40000.0)],
+    }
+    dts = {
+        1: [dt_entry(g1, 0.9), dt_entry(d2, 0.8),
+            dt_entry(kp_full(2000, 2000), 0.7)],
+        2: [dt_entry(kp_full(5000, 5000, spread=12.5), 0.95),
+            dt_entry(kp_full(100, 100), 0.89),
+            dt_entry(kp_full(1000, 1000, spread=40.0), 0.79)],
+    }
+    return gts, dts, {}
+
+
+_ORACLE_FIXTURES = {
+    "ranking": _fixture_ranking,
+    "max_dets_20": _fixture_max_dets,
+    "max_dets_100": _fixture_max_dets_100,
+    "area_ranges": _fixture_area_ranges,
+    "crowd_absorb": _fixture_crowd_absorb,
+    "partial_visibility": _fixture_partial_visibility,
+    "multi_image": _fixture_multi_image,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLE_FIXTURES))
+def test_independent_oracle_on_fixtures(name):
+    gts, dts, kw = _ORACLE_FIXTURES[name]()
+    _assert_matches_oracle(gts, dts, **kw)
+
+
+def _random_scene(seed, n_images=50):
+    """Synthetic eval set: GTs at log-uniform areas spanning the medium and
+    large ranges, partial visibility, crowd-ignore regions, perturbed-copy
+    detections at graded noise plus clutter FPs, and one image with >20
+    detections to exercise maxDets."""
+    rs = np.random.RandomState(seed)
+    gts, dts = {}, {}
+    for img in range(1, n_images + 1):
+        gl, dl = [], []
+        for _ in range(rs.randint(1, 5)):
+            area = float(10 ** rs.uniform(2.7, 5.0))  # ~500 .. 100k px^2
+            side = math.sqrt(area)
+            cx, cy = rs.uniform(200, 5000, size=2)
+            kp = np.zeros((17, 3), np.float32)
+            kp[:, 0] = cx + rs.uniform(0, side, 17)
+            kp[:, 1] = cy + rs.uniform(0, side, 17)
+            kp[:, 2] = 2
+            if rs.rand() < 0.1:  # crowd-ignore region
+                gl.append({"keypoints": np.zeros((17, 3), np.float32),
+                           "area": area,
+                           "bbox": [cx, cy, side, side],
+                           "iscrowd": True, "ignore": True})
+            else:
+                if rs.rand() < 0.3:  # partial visibility
+                    hidden = rs.choice(17, rs.randint(1, 12), replace=False)
+                    kp[hidden, 2] = 0
+                    if not (kp[:, 2] > 0).any():
+                        kp[0, 2] = 2
+                gl.append(gt_entry(kp, area))
+            if rs.rand() < 0.8:  # a detection for this body
+                noisy = kp.copy()
+                noisy[:, :2] += rs.normal(0, rs.uniform(0, 0.1) * side,
+                                          (17, 2))
+                dl.append(dt_entry(noisy, rs.rand()))
+        for _ in range(rs.randint(0, 3)):  # clutter FPs
+            dl.append(dt_entry(kp_full(rs.uniform(6000, 9000),
+                                       rs.uniform(6000, 9000),
+                                       spread=rs.uniform(5, 50)), rs.rand()))
+        if img == 1:  # force a maxDets=20 truncation somewhere
+            for _ in range(30):
+                dl.append(dt_entry(kp_full(rs.uniform(6000, 9000),
+                                           rs.uniform(6000, 9000)),
+                                   rs.rand()))
+        gts[img], dts[img] = gl, dl
+    return gts, dts
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_independent_oracle_randomized_50_images(seed):
+    gts, dts = _random_scene(seed)
+    ours, ref = _assert_matches_oracle(gts, dts)
+    # a meaningful operating point, not a degenerate 0/1
+    assert 0.05 < ours["AP"] < 0.999
+
+
+@pytest.mark.skipif(not HAVE_PYCOCO, reason="pycocotools not installed")
+def test_pycocotools_on_randomized_scene():
+    """Triangulate: product scorer == vendored oracle == pycocotools on the
+    same randomized scene (crowd fixtures excluded: loadRes-based GT
+    injection can't carry iscrowd through this helper)."""
+    gts, dts = _random_scene(3)
+    gts = {i: [g for g in gl if not g.get("iscrowd")]
+           for i, gl in gts.items()}
+    ours = coco_keypoint_ap(gts, dts)
+    ref = _run_pycocotools(gts, dts, sorted(gts))
+    for k in ("AP", "AP50", "AP75", "AP_medium", "AP_large"):
+        assert ours[k] == pytest.approx(ref[k], abs=1e-6), k
+
+
 @pytest.mark.skipif(not HAVE_PYCOCO, reason="pycocotools not installed")
 def test_pycocotools_cross_check():
     """One-shot external-oracle check: our scorer vs COCOeval on a combined
