@@ -1504,22 +1504,27 @@ class MatlabEngine:
         return self._call_value(target, arg_es, env, pkg)
 
     def _call_value(self, target, arg_es, env, pkg):
+        # Paren-applying an array value (field access or call result) is
+        # indexing, so 'end' must resolve against that array — route through
+        # _eval_index_args instead of the plain-arg path.
+        if isinstance(target, MatArray):
+            idx = self._eval_index_args(arg_es, env, pkg, target)
+            return self._array_index(target, idx)
+        if isinstance(target, (MatObjArray, MatStructArray)):
+            items = target.items
+            idx = self._eval_index_args(
+                arg_es, env, pkg, MatArray(np.empty((1, len(items)))))
+            return items[self._int_index(idx) - 1]
         args = [self.eval(a, env, pkg) for a in arg_es]
         if isinstance(target, Builtin):
             return target.fn(*args)
         if isinstance(target, (MatFunction, BoundMethod, MatClass)):
             return self.call_function(target, args) \
                 if not isinstance(target, MatClass) else self.construct(target, args)
-        if isinstance(target, MatObjArray):
-            return target.items[self._int_index(args) - 1]
-        if isinstance(target, MatStructArray):
-            return target.items[self._int_index(args) - 1]
         if isinstance(target, MatMap):
             if len(args) != 1:
                 raise MatlabError("Map lookup takes one key")
             return target.get(args[0])
-        if isinstance(target, MatArray):
-            return self._array_index(target, args)
         if isinstance(target, MatCell):
             raise MatlabError("cell paren-indexing not supported (use braces)")
         if isinstance(target, PyModuleRef):
@@ -2274,6 +2279,7 @@ BUILTINS: Dict[str, Builtin] = {name: Builtin(name, fn) for name, fn in {
     "ischar": lambda x: isinstance(x, str),
     "isequal": _b_isequal,
     "max": _b_max,
+    "min": _b_min,
     "rand": _b_rand,
     "randi": _b_randi,
     "ones": _b_ones,

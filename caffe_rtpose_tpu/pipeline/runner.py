@@ -455,6 +455,14 @@ class RtPosePipeline:
             else:
                 rows = est.fetch_batch(out)  # one fetch RTT for the batch
                 results = list(zip(frames, rows))  # zip drops padding rows
+            # device-service EMA for the predictive shed policy: dispatch to
+            # fetch-complete, measured BEFORE assembly/output_q.put so writer
+            # backpressure can't inflate the estimate and over-shed frames;
+            # GIL makes the write atomic
+            service = time.time() - t_disp
+            ema = self._service_ema
+            self._service_ema = (service if ema is None
+                                 else 0.7 * ema + 0.3 * service)
             for f, (peaks, ps, cnt) in results:
                 if hasattr(est, "overflowed") and est.overflowed(peaks):
                     # a part exceeded the pair_cap transfer: refetch this
@@ -474,12 +482,6 @@ class RtPosePipeline:
                     f.heatmap = np.asarray(_jax.device_get(out["heatmap"]))
                 f.gpu_fetched_time = f.postprocessed_time = time.time()
                 output_q.put(f)
-            # device-service EMA for the predictive shed policy (dispatch
-            # to fetch-complete, per batch); GIL makes the write atomic
-            service = time.time() - t_disp
-            ema = self._service_ema
-            self._service_ema = (service if ema is None
-                                 else 0.7 * ema + 0.3 * service)
 
     def _writer(self, output_q: BlockingQueue, reorder: OrderedBuffer):
         cfg = self.cfg

@@ -208,3 +208,28 @@ class TestIoAndRunTests:
         assert "test_solver: 2/2 passed" in res
         assert "test_io: 1/1 passed" in res
         assert "caffe version" in engine_stdout()
+
+
+class TestAdvisorRegressions:
+    """Round-4 advisor findings: single-output min() was unregistered, and
+    'end' failed to resolve when indexing a field/call-result array."""
+
+    def _run(self, eng, tmp_path, src):
+        p = tmp_path / "snippet.m"
+        p.write_text(src)
+        return eng.run_script(str(p))
+
+    def test_single_output_min(self, eng, tmp_path):
+        env = self._run(eng, tmp_path,
+                        "a = [3 1 2];\nm1 = min(a);\nm2 = min(a, 2);\n")
+        assert to_python(env["m1"]) == 1.0
+        np.testing.assert_array_equal(
+            to_python(env["m2"]), np.array([[2.0, 1.0, 2.0]]))
+
+    def test_end_in_field_array_index(self, eng, tmp_path):
+        env = self._run(
+            eng, tmp_path,
+            "s.f = [10 20 30];\nlast = s.f(end);\ntail = s.f(end-1:end);\n")
+        assert to_python(env["last"]) == 30.0
+        np.testing.assert_array_equal(
+            to_python(env["tail"]), np.array([[20.0, 30.0]]))
