@@ -88,14 +88,32 @@ def _run_oracle(oracle, tmp_path, mode, canvas_hwc, poses, heat, last_arg,
     return out.transpose(1, 2, 0)
 
 
-def assert_pixel_parity(mine, ref, frac=0.999, atol=0.5, ctx=""):
+def assert_pixel_parity(mine, ref, frac=0.999, atol=0.5, ctx="",
+                        outlier_cap=2.0):
+    """Pixel parity with a bounded escape hatch: >= `frac` of pixels must be
+    within `atol`, AND any remaining outliers (float-rounding disagreements
+    on anti-aliased feature edges) must each stay under `outlier_cap` of 255.
+    The cap keeps a localized transcription error — a wrong ellipse quadrant,
+    a flipped colormap breakpoint — from hiding inside the <=0.1% allowance:
+    those produce full-swing (~alpha*255 ~ 150+) diffs.  Measured reality
+    (CRT_RENDER_DIFF_STATS=1, all 20 cases): max diff 0.000 — the suite is
+    bit-exact against the executed reference kernels today, so the hatch
+    exists only for cross-platform float drift and is capped at +-2
+    intensity levels."""
     mine = np.asarray(mine, np.float32)
     diff = np.abs(mine - ref)
     bad = (diff > atol).any(axis=-1)
     ok = 1.0 - bad.mean()
+    if os.environ.get("CRT_RENDER_DIFF_STATS"):
+        print(f"DIFFSTATS {ctx}: ok={ok:.6f} bad={int(bad.sum())} "
+              f"max={diff.max():.3f}")
     assert ok >= frac, (
         f"{ctx}: only {ok:.5f} of pixels within {atol} "
         f"(max diff {diff.max():.3f}, {bad.sum()} bad pixels)"
+    )
+    assert diff.max() <= outlier_cap, (
+        f"{ctx}: outlier pixels exceed the magnitude cap "
+        f"(max diff {diff.max():.3f} > {outlier_cap}, {bad.sum()} bad pixels)"
     )
 
 
