@@ -94,7 +94,7 @@ _BS = 512  # compaction block size (lane-aligned; ~2M ops at 656x368)
 def compact_keys(kb: jax.Array, hw: int, max_peaks: int):
     """Raster-order compaction of position-ordered keys WITHOUT a sort.
 
-    kb: (C, nb) s32 keys (= hw - pos, 0 where empty) whose flattened order
+    kb: (C, nb) keys (= hw - pos, 0 where empty) whose flattened order
     must equal ascending-position order (see :func:`block_keys`).  The r-th
     peak then lives at the r-th masked slot: rank with an inclusive cumsum,
     then find each rank's slot with a searchsorted-style compare-and-count
@@ -103,39 +103,64 @@ def compact_keys(kb: jax.Array, hw: int, max_peaks: int):
 
     Two-level ranking (both levels are the same compare-and-count idea):
     slots are tiled into blocks of ``_BS``; block peak-counts locate the r-th
-    peak's block, a row gather pulls just those ``topk`` blocks, and the
-    within-block search runs over ``topk * _BS`` slots instead of all of
-    ``nb``.  The flat version's (C, nb, topk) compare-reduce was 139M ops at
-    656x368 (~0.29 ms/frame); this is ~2M (measured ~0.04 ms).
+    peak's block, and the within-block search runs over ``topk * _BS`` slots
+    instead of all of ``nb``.  The flat version's (C, nb, topk)
+    compare-reduce was 139M ops at 656x368 (~0.29 ms/frame).
+
+    GATHER-FREE: the obvious ``take_along_axis`` row pulls scalarize on TPU
+    (measured ~0.27 ms/frame for 18x64 row gathers at 656x368); every
+    selection here is a one-hot matmul instead — block pull and final
+    element pick are 0/1-weighted dots, the within-block cumsum is a
+    lower-triangular matmul — ~2 MFLOP total on the MXU (measured ~0.09 ms,
+    scripts/repro_post2.py).  Everything stays EXACT: one-hot products add
+    at most one nonzero term, counts are <= _BS, and the value-carrying
+    dots run at HIGHEST precision so integers up to 2^24 survive the MXU's
+    bf16 passes (hw = 241k at 656x368).
 
     Returns (peak_pos (C, topk) s32, valid (C, topk) bool, counts (C,) s32).
     """
     c, nb = kb.shape
-    mask = kb > 0
+    kf = kb.astype(jnp.float32)
+    mask = kf > 0
     counts = jnp.sum(mask, axis=1).astype(jnp.int32)  # uncapped
     topk = min(max_peaks, hw)
     ranks = jnp.arange(1, topk + 1, dtype=jnp.int32)
 
     nbk = -(-nb // _BS)
     pad = nbk * _BS - nb
-    kbp = jnp.pad(kb, ((0, 0), (0, pad))).reshape(c, nbk, _BS)
-    mb = (kbp > 0).astype(jnp.int32)
-    bc = jnp.sum(mb, axis=2)  # (C, nbk) peaks per block
+    kbp = jnp.pad(kf, ((0, 0), (0, pad))).reshape(c, nbk, _BS)
+    bc = jnp.sum(kbp > 0, axis=2, dtype=jnp.float32)  # (C, nbk) peaks/block
     incl = jnp.cumsum(bc, axis=1)
     excl = incl - bc
     # block of the r-th peak = #blocks whose inclusive count is still < r
     blk = jnp.sum(
-        (incl[:, :, None] < ranks[None, None, :]).astype(jnp.int32), axis=1
+        incl[:, :, None] < ranks[None, None, :], axis=1, dtype=jnp.int32
     )  # (C, topk)
     blk = jnp.minimum(blk, nbk - 1)
-    rows = jnp.take_along_axis(kbp, blk[:, :, None], axis=1)  # (C, topk, _BS)
-    r_in = ranks[None, :] - jnp.take_along_axis(excl, blk, axis=1)  # 1-based
-    rcsum = jnp.cumsum((rows > 0).astype(jnp.int32), axis=2)
-    iin = jnp.sum((rcsum < r_in[:, :, None]).astype(jnp.int32), axis=2)
+    onehot = (
+        blk[:, :, None] == jnp.arange(nbk, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)  # (C, topk, nbk)
+    rows = jnp.einsum(
+        "ctn,cns->cts", onehot, kbp, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (C, topk, _BS)
+    r_in = ranks[None, :].astype(jnp.float32) - jnp.einsum(
+        "ctn,cn->ct", onehot, excl, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # 1-based rank within the block
+    tri = jnp.tril(jnp.ones((_BS, _BS), jnp.float32))
+    rcsum = jnp.einsum(  # inclusive cumsum as a 0/1 triangular matmul
+        "cts,us->ctu", (rows > 0).astype(jnp.float32), tri,
+        preferred_element_type=jnp.float32,
+    )
+    iin = jnp.sum(rcsum < r_in[:, :, None], axis=2, dtype=jnp.int32)
     iin = jnp.minimum(iin, _BS - 1)
-    kvals = jnp.take_along_axis(rows, iin[:, :, None], axis=2)[:, :, 0]
+    sel = (
+        iin[:, :, None] == jnp.arange(_BS, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)
+    kvals = jnp.sum(rows * sel, axis=2)
     valid = counts[:, None] >= ranks[None, :]
-    peak_pos = jnp.where(valid, hw - kvals, 0)
+    peak_pos = jnp.where(valid, hw - kvals.astype(jnp.int32), 0)
     return peak_pos, valid, counts
 
 
@@ -282,15 +307,35 @@ def refined_peaks_lowres(
     guaranteed (same math, different accumulation order) but differences are
     ~1e-6 relative, far inside the 1px/0.01 parity budget.
     """
-    from .imresize import axis_weights_dense, scale_pads
-
-    s, h, w, p_all = parts_low.shape
     c, th, tw = heat.shape
     heatf = heat.astype(jnp.float32)
     mask = find_peaks_mask(heatf, threshold)
     kb = block_keys(mask, th, tw)
     peak_pos, valid, counts = compact_keys(kb.reshape(c, -1), th * tw, max_peaks)
-    topk = peak_pos.shape[1]
+    return refine_from_low(parts_low, peak_pos, valid, counts, (th, tw),
+                           max_peaks, start_scale, scale_gap)
+
+
+def refine_from_low(
+    parts_low: jax.Array,  # (S, h, w, >=P) low-res maps (NHWC)
+    peak_pos: jax.Array,  # (P, topk) raster positions from compact_keys
+    valid: jax.Array,
+    counts: jax.Array,
+    target_hw: Tuple[int, int],
+    max_peaks: int,
+    start_scale: float,
+    scale_gap: float,
+) -> jax.Array:
+    """The 7x7 centroid-refinement + packing half of
+    :func:`refined_peaks_lowres`, taking compacted peak positions directly —
+    so the peak *mask* may come from either the XLA chain
+    (find_peaks_mask -> block_keys -> compact_keys) or the fused Pallas
+    kernel (ops/nms_pallas.peak_mask_fused -> block_keys -> compact_keys)."""
+    from .imresize import axis_weights_dense, scale_pads
+
+    s, h, w, p_all = parts_low.shape
+    th, tw = target_hw
+    c, topk = peak_pos.shape
 
     yy, xx, in_bounds = _window_coords(peak_pos, th, tw)
     # 49 = dy-major: yy varies along the dy axis, xx along the dx axis

@@ -119,6 +119,102 @@ def _kernel(th_ref, l_ref, ay_ref, ax_ref, el_ref, er_ref, u_ref, kb_ref,
         kb_ref[c, 0] = kb.astype(jnp.int32)
 
 
+def _mask_kernel(th_ref, l_ref, ay_ref, ax_ref, m_ref, acc_ref,
+                 *, S, C, W_SRC, H, W):
+    """Upsample + strict-8-neighbor stencil only; emits the i8 peak mask.
+
+    Identical matmul structure (and therefore bit-identical U values) to
+    :func:`_kernel`, but writes NO full-res heat and NO key blocks: since
+    ops/nms.refined_peaks_lowres recomputes the 7x7 refinement windows from
+    the low-res maps, the (C, 368, 656) f32 heat map's only remaining
+    consumer is this stencil — fusing it here removes the dominant HBM
+    tensor of the whole post segment (~110 MB of full-res traffic collapses
+    to one 5 MB i8 mask write; scripts/repro_post2.py).  Downstream
+    (block_keys -> compact_keys -> refine) stays in XLA with slot order
+    exactly equal to the reference's raster-position order.
+    """
+    import jax.experimental.pallas as pl
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+
+    for n in range(S):  # static scale loop
+        ay_t = ay_ref[n, pl.ds(ty * TILE, TILE + 2), :]  # (130, h_src)
+        ax_t = ax_ref[n, pl.ds(tx * TILE, TILE + 2), :]  # (130, w_src)
+        t = jnp.dot(ay_t, l_ref[n], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        for c in range(C):
+            part = jnp.dot(t[:, c * W_SRC : (c + 1) * W_SRC], ax_t.T,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            if n == 0:
+                acc_ref[c] = part
+            else:
+                acc_ref[c] = acc_ref[c] + part
+
+    thr = th_ref[0, 0]
+    rows = ty * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+    cols = tx * TILE + jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    interior = (rows >= 1) & (rows <= H - 2) & (cols >= 1) & (cols <= W - 2)
+
+    for c in range(C):
+        u_ext = acc_ref[c] * (1.0 / S)
+        u = u_ext[1 : 1 + TILE, 1 : 1 + TILE]
+        mask = u > thr
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                mask &= u > u_ext[1 + dy : 1 + dy + TILE, 1 + dx : 1 + dx + TILE]
+        m_ref[c] = (mask & interior).astype(jnp.int8)
+
+
+def peak_mask_fused(
+    lowres: jax.Array,  # (S, h, w, C) net-output part channels, NHWC
+    target_hw: Tuple[int, int],
+    start_scale: float,
+    scale_gap: float,
+    threshold,
+    interpret: bool = False,
+) -> jax.Array:
+    """(C, th, tw) bool strict-peak mask of the scale-averaged bicubic
+    upsample, computed without ever materializing the upsampled maps.
+
+    Bit-equivalent to ``nms.find_peaks_mask(imresize_average(...), thr)``
+    (same Catmull-Rom matrices, same contraction order, same strict
+    comparisons — pinned by test_optimized_path).  Feed the result to
+    ``nms.block_keys`` + ``nms.compact_keys`` exactly like the XLA chain.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s, h, w, c = lowres.shape
+    th, tw = target_hw
+    thp, twp = _round_up(th, TILE), _round_up(tw, TILE)
+    ay_np, ax_np = _padded_matrices(h, w, th, tw, s, float(start_scale), float(scale_gap))
+
+    l_scw = jnp.transpose(lowres.astype(jnp.float32), (0, 1, 3, 2)).reshape(s, h, c * w)
+    thr_arr = jnp.asarray(threshold, jnp.float32).reshape(1, 1)
+
+    grid = (thp // TILE, twp // TILE)
+    m_pad = pl.pallas_call(
+        partial(_mask_kernel, S=s, C=c, W_SRC=w, H=th, W=tw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda ty, tx: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # L (S, h, C*w) whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ay_pad whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Ax_pad whole
+        ],
+        out_specs=pl.BlockSpec((c, TILE, TILE), lambda ty, tx: (0, ty, tx),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, thp, twp), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((c, TILE + 2, TILE + 2), jnp.float32)],
+        interpret=interpret,
+    )(thr_arr, l_scw, jnp.asarray(ay_np), jnp.asarray(ax_np))
+    return m_pad[:, :th, :tw] != 0
+
+
 def upsample_peak_keys(
     lowres: jax.Array,  # (S, h, w, C) net-output part channels, NHWC
     target_hw: Tuple[int, int],

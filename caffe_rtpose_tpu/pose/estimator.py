@@ -99,10 +99,17 @@ class PoseEstimator:
         self.batch = int(batch)
         self._pair_cap = pair_cap
         if use_pallas is None:
-            # the fused kernel (ops/nms_pallas.py) is bit-exact vs the XLA
-            # chain but measured ~3 ms/frame slower on v5e (XLA's fusion of
-            # the same dataflow pipelines better); opt in via env or arg
-            use_pallas = os.environ.get("CRT_USE_PALLAS", "") == "1"
+            # ops/nms_pallas.peak_mask_fused is bit-exact vs the XLA chain
+            # (verified packed-output-identical on v5e) and ~0.1 ms/frame
+            # faster because the (P, th, tw) f32 heat map is never
+            # materialized — default ON where there's a real TPU.  On CPU it
+            # would run in interpret mode (orders of magnitude slower), so
+            # the default stays off there; CRT_USE_PALLAS=1/0 forces either.
+            env = os.environ.get("CRT_USE_PALLAS", "")
+            if env in ("0", "1"):
+                use_pallas = env == "1"
+            else:
+                use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = bool(use_pallas)
 
         self.net = Net(
@@ -270,14 +277,23 @@ class PoseEstimator:
                 parts_low = low[..., :num_parts]
                 if use_pallas:
                     # fused Pallas tile kernel: upsample matmuls + peak
-                    # stencil + key block-reduce in VMEM (ops/nms_pallas.py)
-                    from ..ops.nms import peaks_from_keys
-                    from ..ops.nms_pallas import upsample_peak_keys
+                    # stencil in VMEM (ops/nms_pallas.peak_mask_fused) — the
+                    # (P, th, tw) f32 heat map is never materialized; its
+                    # only consumer was this stencil (refinement and PAF
+                    # scoring recompute from low-res).  Mask/keys/compaction
+                    # semantics identical to the XLA chain below.
+                    from ..ops.nms import block_keys, compact_keys, refine_from_low
+                    from ..ops.nms_pallas import peak_mask_fused
 
-                    heat, kbk = upsample_peak_keys(
+                    pmask = peak_mask_fused(
                         parts_low, (th, tw), start_scale, scale_gap,
                         nms_threshold, interpret=pallas_interpret)
-                    peaks = peaks_from_keys(heat, kbk, max_peaks)
+                    kbm = block_keys(pmask, th, tw)
+                    ppos, pval, pcnt = compact_keys(
+                        kbm.reshape(num_parts, -1), th * tw, max_peaks)
+                    peaks = refine_from_low(
+                        low[..., : num_parts + 1], ppos, pval, pcnt,
+                        (th, tw), max_peaks, start_scale, scale_gap)
                 else:
                     resized = imresize_average(parts_low, th, tw, start_scale, scale_gap)
                     heat = jnp.transpose(resized[0], (2, 0, 1))  # (P, th, tw)

@@ -112,6 +112,37 @@ def test_pallas_upsample_peaks_matches_xla_chain():
         np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_pallas_peak_mask_matches_xla_chain():
+    """ops/nms_pallas.peak_mask_fused (the production default on TPU) must
+    bit-match find_peaks_mask(imresize_average(...)) and, composed with
+    block_keys/compact_keys/refine_from_low, reproduce refined_peaks_lowres
+    exactly (the estimator's two branches)."""
+    from caffe_rtpose_tpu.ops.nms import (
+        block_keys, compact_keys, find_peaks_mask, refine_from_low,
+        refined_peaks_lowres)
+    from caffe_rtpose_tpu.ops.nms_pallas import peak_mask_fused
+
+    rs = np.random.RandomState(5)
+    for scales, start, gap in [(1, 1.0, 0.3), (3, 0.9, 0.1)]:
+        p = 6
+        low = jnp.asarray(rs.rand(scales, 12, 16, p + 1).astype(np.float32) * 2 - 1)
+        th_, tw_ = 96, 128
+        thr = jnp.float32(0.2)
+        heat = jnp.transpose(
+            imresize_average(low[..., :p], th_, tw_, start, gap)[0], (2, 0, 1))
+        ref_mask = np.asarray(find_peaks_mask(heat, thr))
+        got_mask = np.asarray(peak_mask_fused(low[..., :p], (th_, tw_),
+                                              start, gap, thr, interpret=True))
+        np.testing.assert_array_equal(got_mask, ref_mask)
+
+        ref_peaks = np.asarray(refined_peaks_lowres(low, heat, thr, 10, start, gap))
+        kb = block_keys(jnp.asarray(got_mask), th_, tw_)
+        pos, val, cnt = compact_keys(kb.reshape(p, -1), th_ * tw_, 10)
+        got_peaks = np.asarray(refine_from_low(
+            low, pos, val, cnt, (th_, tw_), 10, start, gap))
+        np.testing.assert_array_equal(got_peaks, ref_peaks)
+
+
 def test_compact_keys_property_random_dense():
     """Two-level block-ranked compaction == numpy raster scan on random
     masks dense enough to cross many 512-slot blocks and overflow
