@@ -65,6 +65,20 @@ def _padded_matrices(H: int, W: int, th: int, tw: int, s: int,
     return ay, ax
 
 
+@lru_cache(maxsize=32)
+def _whole_matrices(H: int, W: int, th: int, tw: int, s: int,
+                    start_scale: float, scale_gap: float):
+    """(Ay_pad (S, th+2, H), Ax_pad (S, tw+2, W)) with one zero halo row per
+    side (no TILE rounding — for the whole-frame kernel); row i corresponds
+    to output coordinate i-1."""
+    Ay, Ax = _matrices(H, W, th, tw, s, start_scale, scale_gap)
+    ay = np.zeros((s, th + 2, Ay.shape[2]), np.float32)
+    ax = np.zeros((s, tw + 2, Ax.shape[2]), np.float32)
+    ay[:, 1 : 1 + th] = Ay
+    ax[:, 1 : 1 + tw] = Ax
+    return ay, ax
+
+
 def _kernel(th_ref, l_ref, ay_ref, ax_ref, el_ref, er_ref, u_ref, kb_ref,
             acc_ref, *, S, C, W_SRC, H, W):
     import jax.experimental.pallas as pl
@@ -117,6 +131,67 @@ def _kernel(th_ref, l_ref, ay_ref, ax_ref, el_ref, er_ref, u_ref, kb_ref,
         kb = jnp.dot(cmax, er, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)  # (64, 128)
         kb_ref[c, 0] = kb.astype(jnp.int32)
+
+
+def _mask_kernel_chan(th_ref, l_ref, ay_ref, ax_ref, m_ref, ts_ref,
+                      *, S, C, W_SRC, H, W):
+    """Channel-grid upsample + strict-peak stencil (one program per part).
+
+    Profiling the tiled `_mask_kernel` (scripts/repro_post3.py +
+    scripts/bench_mask_v2.py ablations, v5e) showed its cost is NOT matmuls
+    or HBM: an *empty* 18-program tiled kernel already costs ~110 us/frame
+    in per-grid-step pipeline overhead (whole-array VMEM operands re-staged
+    per step), and the 18x18 tiny (130,82)@(82,130) stage-2 dots add serial
+    issue latency.  This kernel instead runs ONE program per part channel
+    over the WHOLE frame: the stage-1 y-pass for all channels is computed
+    once per frame (at the first channel step) into a scratch that persists
+    across grid steps, and each step's x-pass is one medium
+    (H+2,w)@(w,W+2) dot followed by the separable strict-max stencil (the
+    same form as ops/nms.find_peaks_mask: max distributes over >, f32 max
+    is exact, so the mask is bit-identical to the 8-compare form).
+    Measured 171 vs 312 us/frame for the whole-frame form; the channel
+    grid keeps the same matmul shapes while fitting the i8 output through
+    a per-channel block (the grid=1 form OOMed the 16 MB VMEM scope when
+    embedded in the full fused program).
+
+    Grid-order note: under vmap the batch dimension is prepended as the
+    OUTERMOST grid axis, so within one frame the channel steps run
+    back-to-back and the `c == 0` stage-1 recompute happens once per frame
+    — pinned on hardware by test_optimized_path (batched Pallas mask ==
+    XLA chain per frame).
+    """
+    import jax.experimental.pallas as pl
+
+    c = pl.program_id(0)
+    thr = th_ref[0, 0]
+
+    @pl.when(c == 0)
+    def _stage1():
+        for n in range(S):
+            t = jnp.dot(ay_ref[n], l_ref[n], preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (H+2, C*w)
+            for cc in range(C):
+                ts_ref[n, cc] = t[:, cc * W_SRC : (cc + 1) * W_SRC]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    interior = (rows >= 1) & (rows <= H - 2) & (cols >= 1) & (cols <= W - 2)
+
+    acc = None
+    for n in range(S):
+        part = jnp.dot(ts_ref[n, c], ax_ref[n].T,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # (H+2, W+2)
+        acc = part if acc is None else acc + part
+    u_ext = acc * (1.0 / S)
+    u = u_ext[1 : 1 + H, 1 : 1 + W]
+    # separable strict-8-neighbor max (see ops/nms.find_peaks_mask)
+    row3 = jnp.maximum(jnp.maximum(u_ext[:, :W], u_ext[:, 1 : 1 + W]),
+                       u_ext[:, 2 : 2 + W])
+    vert = jnp.maximum(row3[:H, :], row3[2 : 2 + H, :])
+    horz = jnp.maximum(u_ext[1 : 1 + H, :W], u_ext[1 : 1 + H, 2 : 2 + W])
+    mask = (u > thr) & (u > jnp.maximum(vert, horz))
+    m_ref[0] = (mask & interior).astype(jnp.int8)
 
 
 def _mask_kernel(th_ref, l_ref, ay_ref, ax_ref, m_ref, acc_ref,
@@ -190,11 +265,38 @@ def peak_mask_fused(
 
     s, h, w, c = lowres.shape
     th, tw = target_hw
-    thp, twp = _round_up(th, TILE), _round_up(tw, TILE)
-    ay_np, ax_np = _padded_matrices(h, w, th, tw, s, float(start_scale), float(scale_gap))
 
     l_scw = jnp.transpose(lowres.astype(jnp.float32), (0, 1, 3, 2)).reshape(s, h, c * w)
     thr_arr = jnp.asarray(threshold, jnp.float32).reshape(1, 1)
+
+    # channel-grid kernel VMEM estimate: per-channel stage-1 scratch (lanes
+    # padded to 128) + stencil temporaries + in/out blocks
+    lane = lambda v: _round_up(v, 128)
+    est = (s * c * (th + 2) * lane(w) * 4           # ts scratch
+           + 5 * (th + 2) * lane(tw + 2) * 4        # stencil temporaries
+           + s * (th + 2) * lane(c * w) * 4)        # stage-1 value at c == 0
+    if est <= 12 * 2**20:
+        ayw, axw = _whole_matrices(h, w, th, tw, s,
+                                   float(start_scale), float(scale_gap))
+        m = pl.pallas_call(
+            partial(_mask_kernel_chan, S=s, C=c, W_SRC=w, H=th, W=tw),
+            grid=(c,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # L (S, h, C*w)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Ay_pad (S, th+2, h)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Ax_pad (S, tw+2, w)
+            ],
+            out_specs=pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, th, tw), jnp.int8),
+            scratch_shapes=[pltpu.VMEM((s, c, th + 2, w), jnp.float32)],
+            interpret=interpret,
+        )(thr_arr, l_scw, jnp.asarray(ayw), jnp.asarray(axw))
+        return m != 0
+
+    thp, twp = _round_up(th, TILE), _round_up(tw, TILE)
+    ay_np, ax_np = _padded_matrices(h, w, th, tw, s, float(start_scale), float(scale_gap))
 
     grid = (thp // TILE, twp // TILE)
     m_pad = pl.pallas_call(
