@@ -39,6 +39,8 @@ test runtest pytest:
 runtest-shards:
 	$(PY) -m pytest tests/ -q -m unit
 	$(PY) -m pytest tests/ -q -m oracle
+	$(PY) -m pytest tests/test_ref_composed_e2e.py -q -k production
+	$(PY) -m pytest tests/test_ref_composed_e2e.py -q -k "three_scales or mpi"
 	$(PY) -m pytest tests/test_estimator.py tests/test_optimized_path.py -q
 	$(PY) -m pytest tests/test_pipeline.py tests/test_pp.py -q
 	$(PY) -m pytest tests/test_ref_parity.py tests/test_ref_fuzz_parity.py -q

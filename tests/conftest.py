@@ -48,6 +48,8 @@ HEAVY_FILES = {
     "test_ref_render_parity.py",  # 17 cases through the compiled render kernels
     "test_ref_fuzz_parity.py",    # 32 fuzzed DAGs vs the compiled reference
     "test_ref_parity.py",         # COCO/MPI whole-CNN oracle parity
+    "test_ref_composed_e2e.py",   # 3 full-CNN e2e chains at production res
+                                  # (~11 min solo; split across 2 shards)
     "test_estimator.py",          # several full-CNN (656x368) compiles
     "test_optimized_path.py",     # packed/batched estimator program variants
 }
